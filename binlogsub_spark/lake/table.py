@@ -1,0 +1,324 @@
+"""LakeTable — a from-scratch snapshot/manifest table format with MERGE.
+
+No Iceberg/Delta jars ship in this environment, so the engine implements the
+required Iceberg-style semantics itself, on plain parquet + JSON manifests:
+
+* **Snapshots**: every commit writes an immutable ``snap-N.json`` manifest
+  and atomically swaps a ``CURRENT`` pointer (os.replace). Readers only see
+  committed snapshots; a crash mid-write leaves orphan data files that no
+  manifest references (same recovery model as Iceberg).
+* **Copy-on-write MERGE**: rows are clustered into ``buckets`` hash buckets
+  of ``conv_id``. A merge rewrites ONLY the buckets containing changed keys
+  — the analog of Iceberg COW touching only affected data files. At 100 TB
+  the bucket count is the knob bounding per-commit rewrite volume; bucket
+  dirs are Spark partition dirs, so reads get partition pruning for free.
+* **Schema-union evolution**: each commit records its schema; the table
+  schema is the union. Readers null-backfill old files (Iceberg
+  add-column semantics). This is how the in-band ``tool`` column appearing
+  mid-stream lands without rewriting history
+  (reference epoch flush: /root/reference/packet.cc:141-148).
+* **Idempotent commits**: a manifest carries the high-water ``batch_id``;
+  replaying an already-committed micro-batch is a no-op. Together with
+  LWW dedup this upgrades the reference's at-least-once replay
+  (/root/reference/process.cc:163-191) to exactly-once-effective.
+* **LWW across batches**: rows persist hidden version columns
+  (_op,_ts,_file_seq,_log_pos); tombstones (_op='D') are kept so a
+  later-arriving *older* change cannot resurrect a deleted key, and are
+  dropped from the read view.
+
+Checkpoint/position state (the reference's Redis hash
+/root/reference/business.cc:35-73) becomes the manifest watermark plus an
+append-only ``_lineage`` parquet log of per-batch, per-file_seq offsets and
+applied/skipped metrics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from binlogsub_spark.operators.dedup import lww_reduce
+from binlogsub_spark.plans.envelope import LWW_ORDER, MERGE_KEY, VERSION_COLUMNS
+
+
+def bucket_expr(col: str, buckets: int):
+    """Deterministic key->bucket clustering (xxhash64, stable across runs)."""
+    return F.pmod(F.xxhash64(F.col(col)), F.lit(buckets)).cast("int")
+
+
+class LakeTable:
+    def __init__(self, spark: SparkSession, path: str, buckets: int = 32):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+        self.buckets = buckets
+        self.manifest_dir = os.path.join(self.path, "_manifests")
+        self.data_dir = os.path.join(self.path, "data")
+        self.lineage_dir = os.path.join(self.path, "_lineage")
+
+    # ----------------------------------------------------------- snapshots
+    def _current_pointer(self) -> str:
+        return os.path.join(self.manifest_dir, "CURRENT")
+
+    def snapshot(self) -> dict | None:
+        ptr = self._current_pointer()
+        if not os.path.exists(ptr):
+            return None
+        with open(ptr) as f:
+            name = f.read().strip()
+        with open(os.path.join(self.manifest_dir, name)) as f:
+            return json.load(f)
+
+    def history(self) -> list[dict]:
+        if not os.path.isdir(self.manifest_dir):
+            return []
+        snaps = sorted(
+            n for n in os.listdir(self.manifest_dir) if n.startswith("snap-")
+        )
+        out = []
+        for n in snaps:
+            with open(os.path.join(self.manifest_dir, n)) as f:
+                out.append(json.load(f))
+        return out
+
+    def _commit(self, manifest: dict) -> None:
+        os.makedirs(self.manifest_dir, exist_ok=True)
+        name = f"snap-{manifest['snapshot_id']:08d}.json"
+        with open(os.path.join(self.manifest_dir, name), "w") as f:
+            json.dump(manifest, f, indent=1, default=str)
+        tmp = self._current_pointer() + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(name)
+        os.replace(tmp, self._current_pointer())  # atomic swap
+
+    # -------------------------------------------------------------- schema
+    def _schema(self, snap: dict) -> T.StructType:
+        return T.StructType.fromJson(json.loads(snap["schema_json"]))
+
+    @staticmethod
+    def _union_schema(old: T.StructType, new: T.StructType) -> T.StructType:
+        fields = list(old.fields)
+        names = {f.name for f in fields}
+        # New columns append before the hidden version columns.
+        version_at = next(
+            (i for i, f in enumerate(fields) if f.name in VERSION_COLUMNS),
+            len(fields),
+        )
+        for f in new.fields:
+            if f.name not in names:
+                fields.insert(version_at, f)
+                version_at += 1
+                names.add(f.name)
+        return T.StructType(fields)
+
+    # --------------------------------------------------------------- reads
+    def _read_commit(
+        self, commit_rel: str, buckets: list[int], target: T.StructType
+    ) -> DataFrame:
+        commit_dir = os.path.join(self.data_dir, commit_rel)
+        df = (
+            self.spark.read.option("basePath", commit_dir)
+            .parquet(commit_dir)
+            .where(F.col("_bucket").isin(buckets))  # partition-pruned scan
+        )
+        cols = []
+        have = set(df.columns)
+        for f in target.fields:
+            cols.append(
+                F.col(f.name) if f.name in have
+                else F.lit(None).cast(f.dataType).alias(f.name)  # null-backfill
+            )
+        return df.select(*cols, F.col("_bucket"))
+
+    def read_internal(self, buckets: list[int] | None = None) -> DataFrame:
+        """All rows incl. tombstones + version cols + _bucket, optionally
+        restricted to a bucket subset (merge-time pruning)."""
+        snap = self.snapshot()
+        schema = self._schema(snap)
+        locs: dict[str, str | None] = snap["bucket_locations"]
+        want = set(range(self.buckets) if buckets is None else buckets)
+        by_commit: dict[str, list[int]] = {}
+        for b_str, commit in locs.items():
+            b = int(b_str)
+            if commit is not None and b in want:
+                by_commit.setdefault(commit, []).append(b)
+        if not by_commit:
+            return self.spark.createDataFrame(
+                [], T.StructType(list(schema.fields) + [T.StructField("_bucket", T.IntegerType())])
+            )
+        parts = [
+            self._read_commit(commit, bs, schema) for commit, bs in by_commit.items()
+        ]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
+
+    def read(self) -> DataFrame:
+        """User-facing view: live rows only, no internal columns."""
+        snap = self.snapshot()
+        schema = self._schema(snap)
+        user_cols = [f.name for f in schema.fields if f.name not in VERSION_COLUMNS]
+        return (
+            self.read_internal()
+            .where(F.col("_op") != "D")
+            .select(*user_cols)
+        )
+
+    # --------------------------------------------------------------- merge
+    def merge(
+        self,
+        upserts: DataFrame,
+        batch_id: int,
+        watermark: dict | None = None,
+        pre_reduced: bool = False,
+    ) -> dict:
+        """MERGE INTO … USING upserts ON (conv_id, turn_idx) with LWW.
+
+        ``upserts``: user columns + VERSION_COLUMNS (tombstones as _op='D').
+        Returns {applied, superseded, replayed, snapshot_id}. Replaying an
+        already-committed batch_id is a committed no-op.
+        """
+        snap = self.snapshot()
+        if snap is not None and batch_id <= snap["batch_id"]:
+            return {
+                "applied": 0,
+                "superseded": upserts.count(),
+                "replayed": True,
+                "snapshot_id": snap["snapshot_id"],
+            }
+
+        winners = upserts if pre_reduced else lww_reduce(upserts)
+        winners = winners.withColumn(
+            "_bucket", bucket_expr(MERGE_KEY[0], self.buckets)
+        )
+        winners.persist()
+        try:
+            touched = sorted(
+                r["_bucket"] for r in winners.select("_bucket").distinct().collect()
+            )
+            n_winners = winners.count()
+
+            old_schema = self._schema(snap) if snap else None
+            new_schema = T.StructType(
+                [f for f in winners.schema.fields if f.name != "_bucket"]
+            )
+            schema = (
+                self._union_schema(old_schema, new_schema) if old_schema else new_schema
+            )
+
+            applied = n_winners
+            if snap is not None and touched:
+                current = self.read_internal(touched)
+                cur_keys = current.select(
+                    *MERGE_KEY, F.struct(*[F.col(c) for c in LWW_ORDER]).alias("_cur_v")
+                )
+                w_v = F.struct(*[F.col(c) for c in LWW_ORDER])
+                applied = (
+                    winners.join(cur_keys, MERGE_KEY, "left")
+                    .where(F.col("_cur_v").isNull() | (w_v > F.col("_cur_v")))
+                    .count()
+                )
+                merged = lww_reduce(
+                    current.unionByName(winners, allowMissingColumns=True)
+                )
+            else:
+                merged = winners
+
+            snapshot_id = (snap["snapshot_id"] + 1) if snap else 1
+            bucket_locations = dict(snap["bucket_locations"]) if snap else {
+                str(b): None for b in range(self.buckets)
+            }
+            commit_rel = f"commit-{snapshot_id:08d}"
+            if touched:
+                out_cols = [
+                    F.col(f.name) if f.name in merged.columns
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in schema.fields
+                ]
+                (
+                    merged.select(*out_cols, "_bucket")
+                    # one task per touched bucket -> one file per bucket dir
+                    .repartition(max(len(touched), 1), "_bucket")
+                    .write.partitionBy("_bucket")
+                    .mode("overwrite")
+                    .parquet(os.path.join(self.data_dir, commit_rel))
+                )
+                for b in touched:
+                    bucket_locations[str(b)] = commit_rel
+
+            manifest = {
+                "snapshot_id": snapshot_id,
+                "parent": snap["snapshot_id"] if snap else None,
+                "batch_id": batch_id,
+                "schema_json": json.dumps(schema.jsonValue()),
+                "bucket_locations": bucket_locations,
+                "buckets": self.buckets,
+                "watermark": self._advance_watermark(
+                    (snap or {}).get("watermark"), watermark
+                ),
+                "metrics": {"applied": applied, "upsert_keys": n_winners},
+            }
+            self._commit(manifest)
+            return {
+                "applied": applied,
+                "superseded": n_winners - applied,
+                "replayed": False,
+                "snapshot_id": snapshot_id,
+            }
+        finally:
+            winners.unpersist()
+
+    @staticmethod
+    def _advance_watermark(old: dict | None, new: dict | None) -> dict | None:
+        """Monotone offset watermark (T1): micro-batches may arrive out of
+        delivery order after a restart; the committed frontier never goes
+        backwards (the reference's position context only moves forward,
+        /root/reference/packet.cc:56-68)."""
+        if not new:
+            return old
+        if not old:
+            return new
+        return max(old, new, key=lambda w: (w["file_seq"], w["log_pos"]))
+
+    # ----------------------------------------------------------- lineage
+    def append_lineage(self, lineage_df: DataFrame) -> None:
+        lineage_df.coalesce(1).write.mode("append").parquet(self.lineage_dir)
+
+    def lineage(self) -> DataFrame:
+        return self.spark.read.parquet(self.lineage_dir)
+
+    # ---------------------------------------------------------- maintenance
+    def compact(self) -> dict:
+        """Rewrite all live buckets into a single commit dir — bounds the
+        number of commit dirs a read must union (small-files problem)."""
+        snap = self.snapshot()
+        if snap is None:
+            raise ValueError("compact() on a table with no snapshot")
+        schema = self._schema(snap)
+        df = self.read_internal()
+        snapshot_id = snap["snapshot_id"] + 1
+        commit_rel = f"commit-{snapshot_id:08d}"
+        (
+            df.repartition(self.buckets, "_bucket")
+            .write.partitionBy("_bucket")
+            .mode("overwrite")
+            .parquet(os.path.join(self.data_dir, commit_rel))
+        )
+        live = {
+            str(b): (commit_rel if snap["bucket_locations"].get(str(b)) else None)
+            for b in range(self.buckets)
+        }
+        manifest = dict(
+            snap,
+            snapshot_id=snapshot_id,
+            parent=snap["snapshot_id"],
+            bucket_locations=live,
+            schema_json=json.dumps(schema.jsonValue()),
+            metrics={"compaction": True},
+        )
+        self._commit(manifest)
+        return {"snapshot_id": snapshot_id}

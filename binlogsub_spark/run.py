@@ -1,0 +1,76 @@
+"""spark-submit entry point: tail a binlog event table into a LakeTable.
+
+Usage (the deployment shape the north rule asks for — on a cluster this is
+``spark-submit --py-files binlogsub_spark.zip -m binlogsub_spark.run …``;
+locally plain ``python -m binlogsub_spark.run``):
+
+    python -m binlogsub_spark.run \
+        --source /path/to/binlog_parquet \
+        --table  /path/to/lake_table \
+        --checkpoint /path/to/ckpt \
+        [--generate N]        # first synthesize a binlog of N events at --source
+        [--buckets 32] [--max-files-per-trigger 4] [--master local[32]]
+
+Prints one JSON line of final metrics (rows, snapshots, applied/skipped).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from binlogsub_spark.config import EngineConfig
+from binlogsub_spark.lake.table import LakeTable
+from binlogsub_spark.pipeline import run_stream
+from binlogsub_spark.session import get_spark
+from binlogsub_spark.sources.generator import GeneratorParams, write_binlog
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--source", required=True)
+    ap.add_argument("--table", required=True)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--generate", type=int, default=0)
+    ap.add_argument("--buckets", type=int, default=32)
+    ap.add_argument("--max-files-per-trigger", type=int, default=4)
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--timeout-sec", type=int, default=3600)
+    args = ap.parse_args(argv)
+
+    spark = get_spark(app_name="binlogsub-ingest", master=args.master)
+    if args.generate:
+        write_binlog(
+            spark, args.source, GeneratorParams(n_events=args.generate), n_files=16
+        )
+
+    table = LakeTable(spark, args.table, buckets=args.buckets)
+    q = run_stream(
+        spark,
+        args.source,
+        table,
+        args.checkpoint,
+        cfg=EngineConfig(table_buckets=args.buckets),
+        max_files_per_trigger=args.max_files_per_trigger,
+        available_now=True,
+    )
+    q.awaitTermination(args.timeout_sec)
+
+    snap = table.snapshot() or {}
+    lineage = table.lineage().toPandas() if snap else None
+    out = {
+        "rows": table.read().count() if snap else 0,
+        "snapshot_id": snap.get("snapshot_id"),
+        "batch_id": snap.get("batch_id"),
+        "watermark": snap.get("watermark"),
+        "events_seen": int(lineage["events"].sum()) if lineage is not None else 0,
+        "batches": int(lineage["batch_id"].nunique()) if lineage is not None else 0,
+    }
+    print(json.dumps(out, default=str))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,156 @@
+"""Deterministic, distributed synthetic-binlog generator (fixture factory).
+
+Replaces the reference's live MySQL socket source (S1-S4 in SURVEY.md §2.1:
+COM_BINLOG_DUMP /root/reference/mysqlProcess.cc:170-242 + packet framing
+/root/reference/packet.cc:313-358) with a parametric event table carrying
+the same information content: total order (file_seq, log_pos) as maintained
+by the reference's position context (/root/reference/packet.cc:56-68),
+row-event action (/root/reference/event.cc:326-342), before/after images
+(/root/reference/row.h:39-41), and in-band schema epochs
+(/root/reference/packet.cc:141-148).
+
+Everything is a pure column expression over ``spark.range`` — no driver-side
+data, no Python RNG, no UDFs — so the SAME generator scales from 10^3 rows
+(pytest) to 10^10 rows (cluster) with identical per-id values: row ``i`` has
+the same content at every scale factor. Randomness is ``xxhash64(id, salt)``.
+
+Baked-in distributions (FIXTURES.md §1):
+  * ~70% insert / 20% update / 10% delete,
+  * one hot conv_id ("conv_hot") holding ~30% of events (skew),
+  * ~5% events for a non-matching (db, table) — exercises the scope filter,
+  * a duplicate suffix: the last ``dup_tail`` events are re-delivered with
+    identical (file_seq, log_pos) but later delivery_seq (reconnect replay,
+    /root/reference/process.cc:186-188),
+  * schema evolution: `tool` exists only for schema_version >= 2 (events at
+    id >= evo_frac * n), mirroring in-band table-map epochs,
+  * ~1/17 events carry an out-of-order (late) ts to exercise the LWW
+    tie-break on (ts, file_seq, log_pos).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+BASE_EPOCH = 1_700_000_000  # fixed epoch anchor; no wall-clock anywhere
+
+
+@dataclass(frozen=True)
+class GeneratorParams:
+    n_events: int = 20_000
+    n_convs: int = 400
+    max_turns: int = 50
+    events_per_file: int = 4_096
+    seed: int = 42
+    evo_frac: float = 0.6  # schema_version 2 from this fraction of the stream
+    dup_tail: int = 500  # replayed suffix length
+    hot_pct: int = 30  # % of events on the hot conversation
+    noise_pct: int = 5  # % of events outside the schema scope
+
+
+def _h(col, salt: int, seed: int):
+    """Independent 64-bit hash stream per (value, salt)."""
+    return F.abs(F.xxhash64(col, F.lit(salt), F.lit(seed)))
+
+
+def generate_binlog(
+    spark: SparkSession, params: GeneratorParams = GeneratorParams()
+) -> DataFrame:
+    """Return the change-event stream as a DataFrame.
+
+    Columns: delivery_seq (arrival order, replays land at the end) +
+    ENVELOPE_SCHEMA columns (file_seq, log_pos, server_ts, op, db_name,
+    table_name, schema_version, before, after).
+    """
+    p = params
+    n_parts = max(1, min(spark.sparkContext.defaultParallelism, p.n_events // 1000 or 1))
+    df = spark.range(0, p.n_events, 1, n_parts)
+
+    evo_point = int(p.n_events * p.evo_frac)
+
+    hid = F.col("id")
+    conv_id = F.when(
+        _h(hid, 1, p.seed) % 100 < p.hot_pct, F.lit("conv_hot")
+    ).otherwise(F.concat(F.lit("conv_"), (_h(hid, 2, p.seed) % p.n_convs).cast("string")))
+    turn_idx = (_h(hid, 3, p.seed) % p.max_turns).cast("int")
+    opu = _h(hid, 4, p.seed) % 10
+    op = F.when(opu < 7, F.lit("I")).when(opu < 9, F.lit("U")).otherwise(F.lit("D"))
+
+    late = _h(hid, 5, p.seed) % 17 == 0
+    ts_sec = F.lit(BASE_EPOCH) + F.col("id") - F.when(late, F.lit(7200)).otherwise(F.lit(0))
+    ts = F.timestamp_seconds(ts_sec)
+
+    noise = _h(hid, 6, p.seed) % 100 < p.noise_pct
+    schema_version = F.when(F.col("id") < evo_point, F.lit(1)).otherwise(F.lit(2)).cast("int")
+    role = F.element_at(
+        F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")), (turn_idx % 3) + 1
+    )
+    tool = F.when(
+        (schema_version >= 2) & (role == "tool"),
+        F.concat(F.lit("tool_"), (_h(hid, 7, p.seed) % 5).cast("string")),
+    ).otherwise(F.lit(None).cast("string"))
+    text = F.concat(
+        F.lit("m|"), conv_id, F.lit("|t"), turn_idx.cast("string"), F.lit("|e"),
+        F.col("id").cast("string"),
+    )
+
+    image = F.struct(
+        conv_id.alias("conv_id"),
+        turn_idx.alias("turn_idx"),
+        role.alias("role"),
+        text.alias("text"),
+        tool.alias("tool"),
+        ts.alias("ts"),
+    )
+    # Before-image (update/delete): same key, placeholder prior content —
+    # the reference carries both images (/root/reference/event.cc:336-342);
+    # the apply path keys on the after image / key only.
+    before_image = F.struct(
+        conv_id.alias("conv_id"),
+        turn_idx.alias("turn_idx"),
+        role.alias("role"),
+        F.concat(F.lit("prev|"), text).alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        ts.alias("ts"),
+    )
+
+    events = df.select(
+        F.col("id").alias("delivery_seq"),
+        (F.col("id") / p.events_per_file).cast("int").alias("file_seq"),
+        (F.lit(4) + (F.col("id") % p.events_per_file) * 128).cast("long").alias("log_pos"),
+        ts.alias("server_ts"),
+        op.alias("op"),
+        F.when(noise, F.lit("other")).otherwise(F.lit("test")).alias("db_name"),
+        F.when(noise, F.lit("noise")).otherwise(F.lit("transcripts")).alias("table_name"),
+        schema_version.alias("schema_version"),
+        F.when(op != "I", before_image).alias("before"),
+        F.when(op != "D", image).alias("after"),
+    )
+
+    if p.dup_tail > 0:
+        # Reconnect replay: identical positions, later arrival.
+        replay = (
+            events.where(F.col("delivery_seq") >= p.n_events - p.dup_tail)
+            .withColumn("delivery_seq", F.col("delivery_seq") + F.lit(p.dup_tail))
+        )
+        events = events.unionByName(replay)
+    return events
+
+
+def write_binlog(
+    spark: SparkSession,
+    path: str,
+    params: GeneratorParams = GeneratorParams(),
+    n_files: int = 16,
+) -> None:
+    """Materialize the stream as parquet, range-partitioned by arrival order
+    so a file-based streaming source replays it in delivery order (replayed
+    duplicates arrive in later files, like the reference's reconnect)."""
+    df = generate_binlog(spark, params)
+    (
+        df.repartitionByRange(n_files, "delivery_seq")
+        .sortWithinPartitions("delivery_seq")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

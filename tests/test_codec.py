@@ -1,0 +1,100 @@
+"""Golden decode fixtures + MySQL-format kernel parity (SURVEY.md §2.6).
+
+decode(encode(x)) == x over the full generator output exercises every
+branch the reference's ParseColumnValue analog needs here: NULL handling
+(tool=0xff -> real null, vs /root/reference/event.cc:386-390 degrading to
+""), op codes (/root/reference/row.h:13-18), varlen text, fixed-width
+little-endian header fields (/root/reference/myconvert.h:19-117).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from binlogsub_spark.codec import (
+    decode_raw_events,
+    encode_decoded_events,
+    read_lenenc_int,
+    uint_korr,
+    write_lenenc_int,
+)
+from binlogsub_spark.config import EngineConfig
+from binlogsub_spark.pipeline import scope_filter
+from binlogsub_spark.sources.generator import GeneratorParams, generate_binlog
+
+
+def _flat_events(spark, n=3000):
+    ev = generate_binlog(spark, GeneratorParams(n_events=n, dup_tail=100))
+    img = F.when(F.col("op") == "D", F.col("before")).otherwise(F.col("after"))
+    return ev.select(
+        "file_seq",
+        "log_pos",
+        "server_ts",
+        "op",
+        "db_name",
+        "table_name",
+        "schema_version",
+        img["conv_id"].alias("conv_id"),
+        img["turn_idx"].alias("turn_idx"),
+        img["role"].alias("role"),
+        img["text"].alias("text"),
+        F.when(F.col("op") == "D", F.lit(None).cast("string"))
+        .otherwise(img["tool"])
+        .alias("tool"),
+        img["ts"].alias("ts"),
+    )
+
+
+def test_roundtrip_golden(spark):
+    flat = _flat_events(spark)
+    raw = encode_decoded_events(flat)
+    back = decode_raw_events(raw)
+    # before-image text of deletes is 'prev|...' — encoded faithfully
+    assert flat.exceptAll(back).count() == 0
+    assert back.exceptAll(flat).count() == 0
+
+
+def test_decode_preserves_nulls(spark):
+    back = decode_raw_events(encode_decoded_events(_flat_events(spark, 2000)))
+    v1 = back.where("schema_version = 1")
+    assert v1.where(F.col("tool").isNotNull()).count() == 0
+    assert back.where("schema_version = 2 and tool is not null").count() > 0
+
+
+def test_scope_filter_runs_before_decode_plan(spark):
+    """The structured path filters before any wide transform; assert the
+    scan-adjacent filter exists in the optimized plan (manual pushdown,
+    mirroring /root/reference/packet.cc:201-205)."""
+    ev = generate_binlog(spark, GeneratorParams(n_events=2000))
+    filtered = scope_filter(ev, EngineConfig())
+    plan = filtered._jdf.queryExecution().optimizedPlan().toString()
+    # Catalyst folds the rlike on the generated constant-domain columns and
+    # pushes the residual predicate through the Project down to the source —
+    # each Union branch ends Filter -> Range, i.e. filtering happens before
+    # any downstream work (the reference's manual early-out, automated).
+    import re
+
+    assert re.search(r"Filter .*\n\s*\+- Range", plan), plan
+
+
+def test_lenenc_int_parity():
+    values = [0, 1, 0xFA, 0xFB, 0xFF, 300, 65535, 65536, 1 << 23, (1 << 24) - 1, 1 << 24, 1 << 40]
+    buf = b"".join(write_lenenc_int(v) for v in values)
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    pos = np.int64(0)
+    positions, got = [], []
+    p = np.array([0], dtype=np.int64)
+    for _ in values:
+        v, p = read_lenenc_int(arr, p)
+        got.append(int(v[0]))
+    assert got == values
+
+
+def test_uint_korr_widths():
+    raw = bytes(range(1, 17))
+    arr = np.frombuffer(raw, dtype=np.uint8)
+    pos = np.array([0], dtype=np.int64)
+    for w in range(1, 9):
+        expect = int.from_bytes(raw[:w], "little")
+        assert int(uint_korr(arr, pos, w)[0]) == expect

@@ -1,0 +1,55 @@
+"""LWW dedup unit semantics: ordering, ties, salt-invariance."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from binlogsub_spark.operators.dedup import lww_reduce
+
+TS = dt.datetime(2023, 11, 14, 22, 13, 20)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, text string, _op string, "
+        "_ts timestamp, _file_seq int, _log_pos long",
+    )
+
+
+def test_lww_picks_max_version(spark):
+    rows = [
+        ("c1", 0, "old", "I", TS, 0, 10),
+        ("c1", 0, "new", "U", TS + dt.timedelta(seconds=5), 0, 20),
+        ("c1", 0, "late-arriving-older", "U", TS - dt.timedelta(hours=2), 1, 5),
+        ("c2", 1, "only", "I", TS, 0, 30),
+    ]
+    out = {(r["conv_id"], r["turn_idx"]): r for r in lww_reduce(_df(spark, rows)).collect()}
+    assert out[("c1", 0)]["text"] == "new"
+    assert out[("c2", 1)]["text"] == "only"
+
+
+def test_lww_ts_tie_breaks_on_position(spark):
+    rows = [
+        ("c1", 0, "pos-low", "I", TS, 0, 10),
+        ("c1", 0, "pos-high", "U", TS, 0, 999),
+        ("c1", 0, "earlier-file", "U", TS, 0, 500),
+    ]
+    out = lww_reduce(_df(spark, rows)).collect()
+    assert len(out) == 1 and out[0]["text"] == "pos-high"
+
+
+def test_lww_replay_duplicates_collapse(spark):
+    rows = [("c1", 0, "x", "I", TS, 0, 10)] * 3
+    out = lww_reduce(_df(spark, rows)).collect()
+    assert len(out) == 1 and out[0]["text"] == "x"
+
+
+def test_salted_equals_unsalted(spark):
+    rows = [
+        ("hot", 0, f"t{i}", "U", TS + dt.timedelta(seconds=i % 7), 0, i) for i in range(200)
+    ] + [("c2", 3, "y", "I", TS, 0, 1)]
+    df = _df(spark, rows)
+    a = sorted(map(tuple, lww_reduce(df, salt=1).collect()))
+    b = sorted(map(tuple, lww_reduce(df, salt=8).collect()))
+    assert a == b

@@ -1,0 +1,142 @@
+"""Integration: replay the synthetic binlog, assert final table state equals
+the independent pandas oracle (SURVEY.md §5 test #2), including skew, replay
+duplicates, deletes, schema evolution, and out-of-order timestamps.
+Per-row invariant vs the reference: per-turn text equality under stable
+(conv_id, turn_idx) ordering (BASELINE.json input_hint)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from binlogsub_spark.config import EngineConfig
+from binlogsub_spark.lake.table import LakeTable
+from binlogsub_spark.oracle import expected_final_state
+from binlogsub_spark.pipeline import apply_batch
+from binlogsub_spark.sources.generator import GeneratorParams, generate_binlog
+
+P = GeneratorParams(n_events=6000, n_convs=120, dup_tail=250)
+
+
+def _assert_matches_oracle(table: LakeTable, events_pdf: pd.DataFrame):
+    got = (
+        table.read()
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)[["conv_id", "turn_idx", "role", "text", "tool", "ts"]]
+    )
+    exp = expected_final_state(events_pdf)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_single_batch_replay(spark, tmp_path):
+    ev = generate_binlog(spark, P)
+    table = LakeTable(spark, str(tmp_path / "tbl"), buckets=16)
+    metrics = apply_batch(table, ev, batch_id=1, cfg=EngineConfig())
+    assert metrics["events"] == P.n_events + P.dup_tail
+    assert metrics["applied"] + metrics["skipped"] == metrics["events"]
+    _assert_matches_oracle(table, ev.toPandas())
+
+
+def test_multi_batch_incremental(spark, tmp_path):
+    """Split the stream into 4 arrival-order micro-batches; incremental MERGE
+    must converge to the same state as one-shot replay."""
+    ev = generate_binlog(spark, P).cache()
+    table = LakeTable(spark, str(tmp_path / "tbl"), buckets=16)
+    n = P.n_events + P.dup_tail
+    cuts = [0, n // 4, n // 2, 3 * n // 4, n]
+    for i in range(4):
+        batch = ev.where(
+            (ev.delivery_seq >= cuts[i]) & (ev.delivery_seq < cuts[i + 1])
+        )
+        apply_batch(table, batch, batch_id=i + 1)
+    _assert_matches_oracle(table, ev.toPandas())
+    # lineage accounts for every event exactly once
+    lin = table.lineage().toPandas()
+    assert int(lin["events"].sum()) == n
+    ev.unpersist()
+
+
+def test_batch_id_idempotence(spark, tmp_path):
+    """Replaying an already-committed micro-batch (post-crash foreachBatch
+    re-fire) is a no-op: applied=0, state unchanged (T3 exactly-once)."""
+    ev = generate_binlog(spark, GeneratorParams(n_events=2000, dup_tail=0))
+    table = LakeTable(spark, str(tmp_path / "tbl"), buckets=8)
+    apply_batch(table, ev, batch_id=1)
+    before = table.read().toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    m2 = apply_batch(table, ev, batch_id=1)
+    assert m2["replayed"] and m2["applied"] == 0
+    after = table.read().toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(before, after)
+
+
+def test_tombstone_blocks_resurrection(spark, tmp_path):
+    """A delete with ts=T must not be undone by a later-arriving change with
+    ts<T (cross-batch LWW needs persisted tombstones)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    schema = (
+        "delivery_seq long, file_seq int, log_pos long, server_ts timestamp, "
+        "op string, db_name string, table_name string, schema_version int, "
+        "before struct<conv_id:string,turn_idx:int,role:string,text:string,tool:string,ts:timestamp>, "
+        "after struct<conv_id:string,turn_idx:int,role:string,text:string,tool:string,ts:timestamp>"
+    )
+    img = lambda text, ts: ("c1", 0, "user", text, None, ts)
+    b1 = spark.createDataFrame(
+        [
+            (0, 0, 10, base, "I", "test", "transcripts", 2, None, img("v1", base)),
+            (1, 0, 20, base + dt.timedelta(60), "D", "test", "transcripts", 2,
+             img("v1", base + dt.timedelta(60)), None),
+        ],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [
+            # arrives later, but older ts -> must lose against the tombstone
+            (2, 1, 5, base + dt.timedelta(30), "U", "test", "transcripts", 2,
+             img("zombie", base + dt.timedelta(30)), img("zombie", base + dt.timedelta(30))),
+        ],
+        schema,
+    )
+    table = LakeTable(spark, str(tmp_path / "tbl"), buckets=4)
+    apply_batch(table, b1, batch_id=1)
+    apply_batch(table, b2, batch_id=2)
+    assert table.read().count() == 0
+
+
+def test_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    """Copy-on-write granularity: a second merge touching one key must leave
+    every untouched bucket pointing at its old commit (no full rewrite)."""
+    ev = generate_binlog(spark, GeneratorParams(n_events=3000, dup_tail=0))
+    table = LakeTable(spark, str(tmp_path / "tbl"), buckets=16)
+    apply_batch(table, ev, batch_id=1)
+    snap1 = table.snapshot()
+
+    one = ev.where("delivery_seq = 7").withColumn("delivery_seq", ev.delivery_seq + 10_000)
+    apply_batch(table, one, batch_id=2)
+    snap2 = table.snapshot()
+
+    moved = [
+        b for b, loc in snap2["bucket_locations"].items()
+        if loc != snap1["bucket_locations"][b]
+    ]
+    assert 1 <= len(moved) <= 2  # only the touched bucket(s) rewritten
+
+
+def test_compaction_preserves_state(spark, tmp_path):
+    ev = generate_binlog(spark, GeneratorParams(n_events=3000, dup_tail=100))
+    table = LakeTable(spark, str(tmp_path / "tbl"), buckets=8)
+    n = 3100
+    for i in range(3):
+        batch = ev.where(
+            (ev.delivery_seq >= i * n // 3) & (ev.delivery_seq < (i + 1) * n // 3 + (n % 3 if i == 2 else 0))
+        )
+        apply_batch(table, batch, batch_id=i + 1)
+    before = table.read().toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    table.compact()
+    after = table.read().toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(before, after)
+    # post-compaction: all live buckets in one commit dir
+    locs = {v for v in table.snapshot()["bucket_locations"].values() if v}
+    assert len(locs) == 1
