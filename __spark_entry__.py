@@ -1,38 +1,529 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an implemented operator from SURVEY.md §2 (CDC
+engine stages re-expressed over the driver's ``events`` table so DuckDB can
+oracle them) or a first-class training-data operator (dedup / similarity /
+text / multimodal) over ``documents``/``embeddings``. Every SQL-expressible
+query has an ``oracle_sql()`` twin with IDENTICAL column names and, where
+float-valued, identical rounding. Non-SQL-expressible ops (LSH/minhash/
+simhash signatures, Arrow-kernel decode, the full streaming pipeline) are
+rows-only and additionally asserted against independent oracles in tests/.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --------------------------------------------------------------------- CDC
+def q_cdc_lww_latest_state(spark, sf):
+    """S8/§2.4: keyed last-writer-wins state — max(struct) aggregation, the
+    same reduction the engine's merge path uses (map-side combine, no
+    window sort; see binlogsub_spark/operators/dedup.py)."""
+    ev = _t(spark, sf, "events")
+    w = F.max(F.struct("ts", "event_id", "value")).alias("w")
+    return ev.groupBy("user_id", "event_type").agg(w).select(
+        "user_id",
+        "event_type",
+        F.col("w.ts").alias("last_ts"),
+        F.col("w.event_id").alias("last_event_id"),
+        F.round("w.value", 4).alias("last_value"),
+    )
+
+
+def q_cdc_event_type_dispatch(spark, sf):
+    """P1: per-event-type demux counts (/root/reference/packet.cc:70-109)."""
+    return (
+        _t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("first_event_id"),
+            F.max("event_id").alias("last_event_id"),
+        )
+    )
+
+
+def q_cdc_scope_filter(spark, sf):
+    """P2/F7: regex scoping before any downstream work
+    (/root/reference/packet.cc:201-205, myregex.cc:31-47)."""
+    ev = _t(spark, sf, "events")
+    return ev.where(
+        F.col("event_type").rlike("^(click|purchase)$") & (F.col("user_id") % 10 == 3)
+    ).select("event_id", "user_id", "event_type")
+
+
+def q_cdc_column_projection(spark, sf):
+    """P3: ordinal column projection (/root/reference/row.cc:61-89)."""
+    ev = _t(spark, sf, "events")
+    return ev.where(F.col("event_id") % 20 == 0).select(
+        "event_id", "user_id", "event_type", F.round("value", 4).alias("value_r")
+    )
+
+
+def q_cdc_offset_frontier(spark, sf):
+    """S6/T1: per-partition monotone offset frontier (the Redis position
+    hash /root/reference/business.cc:35-49, made per-partition)."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.withColumn("partition_id", F.col("user_id") % 32)
+        .groupBy("partition_id")
+        .agg(
+            F.max("event_id").alias("frontier_event_id"),
+            F.max("ts").alias("frontier_ts"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+def q_cdc_schema_registry_join(spark, sf):
+    """J1: stream x small-dimension broadcast hash join
+    (/root/reference/packet.cc:194-200 table-map lookup)."""
+    ev = _t(spark, sf, "events")
+    cust = _t(spark, sf, "customer")
+    return (
+        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .withColumnRenamed("c_nationkey", "nation_key")
+    )
+
+
+def q_cdc_turn_ordering_window(spark, sf):
+    """§2.5: stable per-key ordering window (final transcript turn order)."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).cast("long").alias("turn_seq"),
+        F.lag("event_type").over(w).alias("prev_event_type"),
+    )
+
+
+def q_cdc_applied_skipped_metrics(spark, sf):
+    """T2-T4: applied/skipped accounting — winners per key are applied,
+    superseded events are skipped."""
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("applied"),
+        (F.count("*") - F.countDistinct("user_id")).alias("skipped"),
+    )
+
+
+def q_cdc_props_json(spark, sf):
+    """F-analog: semi-structured payload extraction (props JSON)."""
+    ev = _t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.sum(k).alias("sum_k"),
+    )
+
+
+# ----------------------------------------------------------- training data
+def q_dedup_exact(spark, sf):
+    from binlogsub_spark.functions.dedup import exact_duplicates
+
+    out = exact_duplicates(_t(spark, sf, "documents"))
+    return out.select(
+        "doc_id", "fp", "keeper_id", F.col("group_size").cast("long").alias("group_size"),
+        "is_duplicate",
+    )
+
+
+def q_dedup_ngram_jaccard(spark, sf):
+    from binlogsub_spark.functions.dedup import jaccard_pairs
+
+    return jaccard_pairs(_t(spark, sf, "documents"), threshold=0.05, max_doc_freq=100)
+
+
+def q_dedup_minhash_lsh(spark, sf):
+    from binlogsub_spark.functions.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_t(spark, sf, "documents"), threshold=0.05)
+
+
+def q_dedup_simhash(spark, sf):
+    from binlogsub_spark.functions.dedup import simhash_pairs
+
+    return simhash_pairs(_t(spark, sf, "documents"), max_hamming=16)
+
+
+def q_dedup_embedding_cosine(spark, sf):
+    from binlogsub_spark.functions.similarity import embedding_near_dup
+
+    return embedding_near_dup(_t(spark, sf, "embeddings"), threshold=0.3, planes=4)
+
+
+def q_similarity_cosine_topk(spark, sf):
+    """Exact brute-force cosine top-5 for query vectors (vec_id < 20),
+    pure JVM expressions (zip_with/aggregate fold) so the SQL oracle is
+    bit-identical."""
+    e = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    nq = F.sqrt(F.aggregate("qv", F.lit(0.0), lambda a, x: a + x * x))
+    nc = F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
+    scored = (
+        F.broadcast(q)
+        .join(e, F.col("query_id") != F.col("vec_id"))
+        .withColumn("cos", dot / (nq * nc))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "vec_id", F.round("cos", 4).alias("cosine"), "rank")
+    )
+
+
+def q_similarity_ann_arrow_topk(spark, sf):
+    """Arrow/numpy brute-force top-k (one BLAS matmul per batch) — the
+    throughput path; equality with the expression version is pytest-
+    asserted (tests/test_functions.py)."""
+    from binlogsub_spark.functions.similarity import cosine_topk
+
+    emb = _t(spark, sf, "embeddings")
+    return cosine_topk(emb, emb.where(F.col("vec_id") < 20), k=5).select(
+        "query_id", "vec_id", F.round("cosine", 4).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_similarity_lsh_topk(spark, sf):
+    from binlogsub_spark.functions.similarity import lsh_topk
+
+    emb = _t(spark, sf, "embeddings")
+    return lsh_topk(emb, emb.where(F.col("vec_id") < 20), k=5, planes=4).select(
+        "query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def q_text_token_count(spark, sf):
+    from binlogsub_spark.functions.text import bpe_ish_token_count, token_count
+
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        bpe_ish_token_count(F.col("text")).cast("long").alias("n_pieces"),
+    )
+
+
+def q_text_quality_score(spark, sf):
+    from binlogsub_spark.functions.text import quality_features
+
+    d = _t(spark, sf, "documents")
+    feats = quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        feats["n_chars"].cast("long").alias("n_chars"),
+        feats["n_tokens"].cast("long").alias("n_tokens"),
+        feats["stop_ratio"].alias("stop_ratio"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["digit_ratio"].alias("digit_ratio"),
+        feats["quality_score"].alias("quality_score"),
+    )
+
+
+def q_text_lang_id(spark, sf):
+    from binlogsub_spark.functions.text import lang_id
+
+    return _t(spark, sf, "documents").select(
+        "doc_id", lang_id(F.col("text")).alias("pred_lang")
+    )
+
+
+def q_text_fingerprint(spark, sf):
+    from binlogsub_spark.functions.text import fingerprint
+
+    return _t(spark, sf, "documents").select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")
+    )
+
+
+def q_multimodal_metadata(spark, sf):
+    from binlogsub_spark.functions.multimodal import attach_media
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    m = attach_media(d, "doc_id", "payload", kind="image")
+    return m.select(
+        "media_id",
+        "kind",
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.n_bytes").cast("long").alias("n_bytes"),
+        F.col("meta.sha256").alias("sha256"),
+    )
+
+
+def q_multimodal_decode_features(spark, sf):
+    from binlogsub_spark.functions.multimodal import attach_media, decode_media
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    feats = decode_media(attach_media(d, "doc_id", "payload"))
+    return feats.select(
+        "media_id", "n_bytes", "sha256", "width", "height",
+        F.round(F.element_at("feature", 1).cast("double"), 4).alias("f0"),
+    )
+
+
+# --------------------------------------------------------------- engine e2e
+def q_cdc_pipeline_e2e(spark, sf):
+    """The full engine, end to end (rows-only check; the pandas + DuckDB
+    oracles assert equality in tests/ and .claude/skills/verify): generate
+    a deterministic binlog, MERGE-apply it, return the final transcripts
+    state."""
+    from binlogsub_spark.config import EngineConfig
+    from binlogsub_spark.lake.table import LakeTable
+    from binlogsub_spark.pipeline import apply_batch
+    from binlogsub_spark.sources.generator import GeneratorParams, generate_binlog
+
+    params = GeneratorParams(n_events=5000, n_convs=80, dup_tail=200)
+    events = generate_binlog(spark, params)
+    tmp = tempfile.mkdtemp(prefix="binlogsub_e2e_")
+    table = LakeTable(spark, os.path.join(tmp, "tbl"), buckets=16)
+    apply_batch(table, events, batch_id=1, cfg=EngineConfig())
+    return table.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
+def q_cdc_raw_decode(spark, sf):
+    """Arrow byte-decode kernels (§2.6): encode the generated events to the
+    binary wire format, decode via mapInPandas, return typed records
+    (rows-only; round-trip equality is pytest-asserted)."""
+    from binlogsub_spark.codec import decode_raw_events, encode_decoded_events
+    from binlogsub_spark.sources.generator import GeneratorParams, generate_binlog
+
+    ev = generate_binlog(spark, GeneratorParams(n_events=3000, dup_tail=0))
+    img = F.when(F.col("op") == "D", F.col("before")).otherwise(F.col("after"))
+    flat = ev.select(
+        "file_seq", "log_pos", "server_ts", "op", "db_name", "table_name",
+        "schema_version",
+        img["conv_id"].alias("conv_id"),
+        img["turn_idx"].alias("turn_idx"),
+        img["role"].alias("role"),
+        img["text"].alias("text"),
+        F.when(F.col("op") == "D", F.lit(None).cast("string")).otherwise(img["tool"]).alias("tool"),
+        img["ts"].alias("ts"),
+    )
+    return decode_raw_events(encode_decoded_events(flat))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: keyed LWW latest-state (the engine's core reduction) on
+    sf0.001."""
+    return q_cdc_lww_latest_state(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "cdc_lww_latest_state": q_cdc_lww_latest_state,
+        "cdc_event_type_dispatch": q_cdc_event_type_dispatch,
+        "cdc_scope_filter": q_cdc_scope_filter,
+        "cdc_column_projection": q_cdc_column_projection,
+        "cdc_offset_frontier": q_cdc_offset_frontier,
+        "cdc_schema_registry_join": q_cdc_schema_registry_join,
+        "cdc_turn_ordering_window": q_cdc_turn_ordering_window,
+        "cdc_applied_skipped_metrics": q_cdc_applied_skipped_metrics,
+        "cdc_props_json": q_cdc_props_json,
+        "cdc_pipeline_e2e": q_cdc_pipeline_e2e,
+        "cdc_raw_decode": q_cdc_raw_decode,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "similarity_cosine_topk": q_similarity_cosine_topk,
+        "similarity_ann_arrow_topk": q_similarity_ann_arrow_topk,
+        "similarity_lsh_topk": q_similarity_lsh_topk,
+        "text_token_count": q_text_token_count,
+        "text_quality_score": q_text_quality_score,
+        "text_lang_id": q_text_lang_id,
+        "text_fingerprint": q_text_fingerprint,
+        "multimodal_metadata": q_multimodal_metadata,
+        "multimodal_decode_features": q_multimodal_decode_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_NORM = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "cdc_lww_latest_state": """
+            SELECT user_id, event_type, ts AS last_ts, event_id AS last_event_id,
+                   round(value, 4) AS last_value
+            FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) = 1
+        """,
+        "cdc_event_type_dispatch": """
+            SELECT event_type, count(*) AS n_events,
+                   min(event_id) AS first_event_id, max(event_id) AS last_event_id
+            FROM events GROUP BY event_type
+        """,
+        "cdc_scope_filter": """
+            SELECT event_id, user_id, event_type FROM events
+            WHERE regexp_matches(event_type, '^(click|purchase)$') AND user_id % 10 = 3
+        """,
+        "cdc_column_projection": """
+            SELECT event_id, user_id, event_type, round(value, 4) AS value_r
+            FROM events WHERE event_id % 20 = 0
+        """,
+        "cdc_offset_frontier": """
+            SELECT user_id % 32 AS partition_id, max(event_id) AS frontier_event_id,
+                   max(ts) AS frontier_ts, count(*) AS n_events
+            FROM events GROUP BY user_id % 32
+        """,
+        "cdc_schema_registry_join": """
+            SELECT c.c_nationkey AS nation_key, count(*) AS n_events,
+                   count(DISTINCT e.user_id) AS n_users
+            FROM events e JOIN customer c ON e.user_id = c.c_custkey
+            GROUP BY c.c_nationkey
+        """,
+        "cdc_turn_ordering_window": """
+            SELECT event_id, user_id,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS turn_seq,
+                   lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event_type
+            FROM events
+        """,
+        "cdc_applied_skipped_metrics": """
+            SELECT event_type, count(*) AS n_events,
+                   count(DISTINCT user_id) AS applied,
+                   count(*) - count(DISTINCT user_id) AS skipped
+            FROM events GROUP BY event_type
+        """,
+        "cdc_props_json": """
+            SELECT event_type, count(*) AS n_events,
+                   min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+                   max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+            FROM events GROUP BY event_type
+        """,
+        "dedup_exact": f"""
+            WITH fp AS (SELECT doc_id, md5({_NORM}) AS fp FROM documents),
+            g AS (SELECT fp, min(doc_id) AS keeper_id, count(*) AS group_size
+                  FROM fp GROUP BY fp)
+            SELECT f.doc_id, f.fp, g.keeper_id, g.group_size,
+                   f.doc_id <> g.keeper_id AS is_duplicate
+            FROM fp f JOIN g USING (fp)
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH docs AS (
+              SELECT doc_id, str_split({_NORM}, ' ') AS words FROM documents
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
+              FROM docs, UNNEST(range(1, len(words) - 1)) AS t(i)
+              WHERE len(words) >= 3
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+            sh2 AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT id_a, id_b,
+                   round(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.05
+        """,
+        "similarity_cosine_topk": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+            s AS (
+              SELECT q.query_id, e.vec_id,
+                     list_dot_product(q.qv, e.v)
+                       / (sqrt(list_dot_product(q.qv, q.qv))
+                          * sqrt(list_dot_product(e.v, e.v))) AS cos
+              FROM q JOIN e ON e.vec_id <> q.query_id
+            )
+            SELECT query_id, vec_id, round(cos, 4) AS cosine, rank FROM (
+              SELECT *, row_number() OVER (
+                  PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+              FROM s) WHERE rank <= 5
+        """,
+        "text_token_count": f"""
+            SELECT doc_id,
+                   CASE WHEN length({_NORM}) = 0 THEN 0
+                        ELSE len(str_split({_NORM}, ' ')) END AS n_tokens,
+                   len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^\\sa-z0-9]')) AS n_pieces
+            FROM documents
+        """,
+        "text_quality_score": f"""
+            WITH b AS (
+              SELECT doc_id,
+                length(text) AS n_chars,
+                CASE WHEN length({_NORM}) = 0 THEN 0
+                     ELSE len(str_split({_NORM}, ' ')) END AS n_tokens,
+                len(regexp_extract_all({_NORM},
+                    '\\b(the|a|an|and|or|of|to|in|is|it)\\b')) AS n_stop,
+                len(regexp_extract_all(text, '[.!?,;:]')) AS n_punct,
+                len(regexp_extract_all(text, '[0-9]')) AS n_digit
+              FROM documents
+            )
+            SELECT doc_id, n_chars, n_tokens,
+                   round(n_stop / greatest(n_tokens, 1), 4) AS stop_ratio,
+                   round(n_punct / greatest(n_chars, 1), 4) AS punct_ratio,
+                   round(n_digit / greatest(n_chars, 1), 4) AS digit_ratio,
+                   CAST(least(n_tokens, 100) * 4
+                        + least(floor(n_stop * 1500 / greatest(n_tokens, 1)), 300)
+                        + (300 - least(floor(n_digit * 3000 / greatest(n_chars, 1)), 300))
+                        AS BIGINT) AS quality_score
+            FROM b
+        """,
+        "text_lang_id": f"""
+            WITH c AS (
+              SELECT doc_id,
+                len(regexp_extract_all({_NORM}, '\\b(the|a|of|and|is)\\b')) AS c_en,
+                len(regexp_extract_all({_NORM}, '\\b(der|die|das|und|ist)\\b')) AS c_de,
+                len(regexp_extract_all({_NORM}, '\\b(le|la|les|et|est)\\b')) AS c_fr,
+                len(regexp_extract_all({_NORM}, '\\b(el|la|los|y|es)\\b')) AS c_es
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(c_en, c_de, c_fr, c_es) = 0 THEN 'und'
+                        WHEN c_en = greatest(c_en, c_de, c_fr, c_es) THEN 'en'
+                        WHEN c_de = greatest(c_en, c_de, c_fr, c_es) THEN 'de'
+                        WHEN c_fr = greatest(c_en, c_de, c_fr, c_es) THEN 'fr'
+                        ELSE 'es' END AS pred_lang
+            FROM c
+        """,
+        "text_fingerprint": f"""
+            SELECT doc_id, md5({_NORM}) AS fp FROM documents
+        """,
+        "multimodal_metadata": """
+            SELECT doc_id AS media_id, 'image' AS kind, 'image/stub' AS mime,
+                   octet_length(encode(text)) AS n_bytes,
+                   sha256(text) AS sha256
+            FROM documents
+        """,
+    }

@@ -1,0 +1,129 @@
+"""Benchmark harness. Prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ...,
+     "events_per_sec_applied": ..., "ingest_events": ...}
+
+Headline: the CDC ingest itself — generate a synthetic binlog sized to the
+scale factor, apply it through decode -> scope filter -> salted LWW dedup ->
+copy-on-write MERGE, and report change-events/sec applied (BASELINE.json
+metric). Plus representative operator timings on the driver's sf tables.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_bench(sf_dir: str, cpus: int, ingest_events: int | None = None) -> dict:
+    import __spark_entry__ as entry
+    from binlogsub_spark.config import EngineConfig
+    from binlogsub_spark.lake.table import LakeTable
+    from binlogsub_spark.pipeline import apply_batch
+    from binlogsub_spark.session import get_spark
+    from binlogsub_spark.sources.generator import GeneratorParams, generate_binlog
+
+    sf_label = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_num = float(sf_label)
+    except ValueError:
+        sf_num = 0.1
+    if ingest_events is None:
+        # 5M events/sf-unit: sf0.1 -> 500k change events through the full path
+        ingest_events = max(int(5_000_000 * sf_num), 50_000)
+
+    spark = get_spark(
+        app_name="binlogsub-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+    )
+    timings: dict[str, float] = {}
+
+    # ---- headline: full CDC ingest (batch replay of the binlog) ----
+    params = GeneratorParams(
+        n_events=ingest_events,
+        n_convs=max(ingest_events // 50, 100),
+        dup_tail=ingest_events // 40,
+        events_per_file=65536,
+    )
+    tmp = tempfile.mkdtemp(prefix="binlogsub_bench_")
+    try:
+        events = generate_binlog(spark, params)
+        table = LakeTable(spark, os.path.join(tmp, "tbl"), buckets=max(cpus, 16))
+        t0 = time.time()
+        metrics = apply_batch(table, events, batch_id=1, cfg=EngineConfig())
+        ingest_sec = time.time() - t0
+        timings["cdc_ingest_replay"] = round(ingest_sec, 3)
+        total_events = metrics["events"]
+
+        # incremental second batch (MERGE against existing table)
+        inc = generate_binlog(
+            spark,
+            GeneratorParams(
+                n_events=ingest_events // 10,
+                n_convs=params.n_convs,
+                dup_tail=0,
+                seed=43,
+                events_per_file=65536,
+            ),
+        )
+        t0 = time.time()
+        apply_batch(table, inc, batch_id=2, cfg=EngineConfig())
+        timings["cdc_ingest_incremental"] = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    # ---- operator suite on the driver tables ----
+    suite = [
+        "cdc_lww_latest_state",
+        "cdc_turn_ordering_window",
+        "cdc_schema_registry_join",
+        "cdc_applied_skipped_metrics",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "similarity_ann_arrow_topk",
+        "text_quality_score",
+        "text_fingerprint",
+        "multimodal_decode_features",
+    ]
+    qs = entry.queries()
+    for name in suite:
+        t0 = time.time()
+        n = qs[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    spark.stop()
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "cdc_ingest_and_operator_suite_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_num,
+        "cpus": cpus,
+        "ingest_events": total_events,
+        "events_per_sec_applied": round(total_events / ingest_sec, 1),
+    }
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    result = run_bench(sf_dir, cpus)
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

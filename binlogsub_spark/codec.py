@@ -39,7 +39,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
 HEADER_LEN = 55
@@ -124,8 +124,32 @@ def encode_record(
 
 
 # ---------------------------------------------------------------- decode --
+def validate_payload_batch(payloads: pd.Series) -> np.ndarray:
+    """Vectorized structural validation — the engine's analog of the
+    reference's error-packet demux (/root/reference/packet.cc:360-373:
+    first byte 0xff -> ErrorPacket branch). Returns a bool mask of valid
+    records; invalid ones go to the dead-letter branch instead of
+    aborting the stream like the reference does."""
+    lens = payloads.map(len).to_numpy()
+    ok = lens >= HEADER_LEN
+    if ok.any():
+        raw = payloads.to_numpy()
+        hdr = b"".join(bytes(r[:HEADER_LEN]) for r in raw[ok])
+        h = np.frombuffer(hdr, dtype=_HEADER_DTYPE)
+        good = (
+            (h["op"] <= 2)
+            & (h["role"] <= 2)
+            & (h["scope"] <= 1)
+            & (h["text_len"] == (lens[ok] - HEADER_LEN))
+        )
+        ok_idx = np.flatnonzero(ok)
+        ok[ok_idx[~good]] = False
+    return ok
+
+
 def decode_payload_batch(payloads: pd.Series) -> pd.DataFrame:
-    """Decode one Arrow batch of raw event payloads, vectorized."""
+    """Decode one Arrow batch of raw event payloads, vectorized.
+    Precondition: payloads already validated (see validate_payload_batch)."""
     n = len(payloads)
     if n == 0:
         return pd.DataFrame(
@@ -163,14 +187,45 @@ def decode_payload_batch(payloads: pd.Series) -> pd.DataFrame:
     )
 
 
-def decode_raw_events(raw_df: DataFrame) -> DataFrame:
-    """payload:binary -> typed change records via mapInPandas (Arrow batches)."""
+def decode_raw_events(raw_df: DataFrame, skip_invalid: bool = True) -> DataFrame:
+    """payload:binary -> typed change records via mapInPandas (Arrow batches).
+    Structurally invalid payloads are dropped here (route them to a
+    dead-letter sink first via ``split_deadletter`` if they must be kept)."""
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield decode_payload_batch(pdf["payload"])
+            payloads = pdf["payload"]
+            if skip_invalid and len(payloads):
+                payloads = payloads[validate_payload_batch(payloads)]
+            yield decode_payload_batch(payloads.reset_index(drop=True))
 
     return raw_df.mapInPandas(_decode, schema=DECODED_SCHEMA)
+
+
+def split_deadletter(raw_df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """S5 demux: (valid, dead_letter). Both sides keep the framing columns
+    so dead-lettered events stay addressable by (file_seq, log_pos) — the
+    reference just logs and aborts (/root/reference/packet.cc:16-30); a
+    pipeline at scale must keep flowing and account for them."""
+    from binlogsub_spark.plans.envelope import RAW_SCHEMA  # noqa: F401
+
+    flag_schema = T.StructType(
+        list(raw_df.schema.fields) + [T.StructField("_valid", T.BooleanType())]
+    )
+
+    def _flag(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out["_valid"] = (
+                validate_payload_batch(pdf["payload"]) if len(pdf) else []
+            )
+            yield out
+
+    flagged = raw_df.mapInPandas(_flag, schema=flag_schema)
+    return (
+        flagged.where(F.col("_valid")).drop("_valid"),
+        flagged.where(~F.col("_valid")).drop("_valid"),
+    )
 
 
 # ------------------------------------------------- parity decode kernels --

@@ -1,0 +1,213 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, as a 100 TB pipeline needs:
+
+* ``cosine_topk`` — exact brute force. Queries are collected to a small
+  numpy matrix and broadcast; each Arrow batch of the corpus does ONE
+  numpy matmul and emits only its per-batch top-k candidates, so the
+  shuffle carries O(batches * q * k) rows, never the corpus. The final
+  exact top-k is a tiny window over candidates.
+* ``lsh_topk`` — the approximate scale path: sign-random-projection
+  buckets (deterministic hyperplanes derived from a seed), candidates
+  only within matching buckets (multi-probe via fewer planes), then exact
+  rescoring. Candidate generation is an equi-join on bucket id — no
+  cross join anywhere.
+
+* ``embedding_near_dup`` — near-duplicate pairs by cosine >= threshold,
+  blocked by LSH bucket.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import types as T
+
+TOPK_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.LongType()),
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("cosine", T.DoubleType()),
+    ]
+)
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine (excluding self-matches).
+
+    ``queries`` must be small (driver-collected + broadcast to executors —
+    the classic broadcast side of an ANN scoring job).
+    """
+    qrows = queries.select(query_id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    q_mat = _normalize(np.array([r[1] for r in qrows], dtype=np.float64))
+    spark = corpus.sparkSession
+    bq = spark.sparkContext.broadcast((q_ids, q_mat))
+
+    def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, qm = bq.value
+        kk = k
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c_mat = _normalize(np.array(list(pdf[vec_col]), dtype=np.float64))
+            sims = qm @ c_mat.T  # (q, batch) — one BLAS call per batch
+            sims[np.equal.outer(ids, c_ids)] = -np.inf  # drop self-matches
+            take = min(kk, sims.shape[1])
+            idx = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+            out = pd.DataFrame(
+                {
+                    "query_id": np.repeat(ids, take),
+                    "vec_id": c_ids[idx].ravel(),
+                    "cosine": np.take_along_axis(sims, idx, axis=1).ravel(),
+                }
+            )
+            yield out[np.isfinite(out["cosine"])]
+
+    candidates = corpus.select(id_col, vec_col).mapInPandas(_score, schema=TOPK_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")  # deterministic tie-break
+    )
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def _bucket_ids(df: DataFrame, vec_col: str, planes: int, seed: int, id_col: str) -> DataFrame:
+    """Sign-random-projection bucket per vector, via a deterministic plane
+    matrix derived from (seed, plane, dim) hashing — computed in numpy per
+    Arrow batch (no driver-side randomness, resumable)."""
+    schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("bucket", T.LongType())]
+    )
+
+    def _hash_planes(dim: int) -> np.ndarray:
+        # deterministic pseudo-random hyperplanes: hash -> uniform(-1, 1)
+        idx = np.arange(planes * dim, dtype=np.uint64)
+        x = idx * np.uint64(6364136223846793005) + np.uint64(seed)
+        x ^= x >> np.uint64(33)
+        x *= np.uint64(0xFF51AFD7ED558CCD)
+        x ^= x >> np.uint64(33)
+        u = (x.astype(np.float64) / np.float64(2**64)) * 2.0 - 1.0
+        return u.reshape(planes, dim)
+
+    def _bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        planes_mat = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if planes_mat is None:
+                planes_mat = _hash_planes(mat.shape[1])
+            bits = (mat @ planes_mat.T) >= 0
+            bucket = np.zeros(len(pdf), dtype=np.int64)
+            for i in range(planes):
+                bucket |= bits[:, i].astype(np.int64) << i
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(np.int64), "bucket": bucket})
+
+    return df.select(id_col, vec_col).mapInPandas(_bucketize, schema=schema)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors sharing the query's
+    LSH bucket, then exact cosine rescoring within candidates."""
+    cb = _bucket_ids(corpus, vec_col, planes, seed, id_col).withColumnRenamed(
+        id_col, "c_id"
+    )
+    qb = _bucket_ids(queries, vec_col, planes, seed, id_col).withColumnRenamed(
+        id_col, "q_id"
+    )
+    cand = qb.join(cb, "bucket").where(F.col("q_id") != F.col("c_id"))
+
+    cvec = corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
+    qvec = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    scored = (
+        cand.join(cvec, "c_id")
+        .join(F.broadcast(qvec), "q_id")
+        .withColumn(
+            "dot",
+            F.aggregate(
+                F.zip_with("q_vec", "c_vec", lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .withColumn(
+            "norm_q",
+            F.sqrt(F.aggregate("q_vec", F.lit(0.0), lambda a, x: a + x * x)),
+        )
+        .withColumn(
+            "norm_c",
+            F.sqrt(F.aggregate("c_vec", F.lit(0.0), lambda a, x: a + x * x)),
+        )
+        .withColumn("cosine", F.round(F.col("dot") / (F.col("norm_q") * F.col("norm_c")), 6))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("vec_id"),
+            "cosine",
+            "rank",
+        )
+    )
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    planes: int = 6,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate vector pairs (a<b) with cosine >= threshold, blocked
+    by LSH bucket (high-cosine pairs collide with high probability; at
+    scale run multiple seeds and union for recall)."""
+    b = _bucket_ids(df, vec_col, planes, seed, id_col)
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    a_side = b.withColumnRenamed(id_col, "id_a")
+    b_side = b.withColumnRenamed(id_col, "id_b")
+    cand = a_side.join(b_side, "bucket").where(F.col("id_a") < F.col("id_b")).distinct()
+    scored = (
+        cand.join(v.withColumnsRenamed({"id": "id_a", "vec": "va"}), "id_a")
+        .join(v.withColumnsRenamed({"id": "id_b", "vec": "vb"}), "id_b")
+        .withColumn(
+            "dot",
+            F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x),
+        )
+        .withColumn("na", F.sqrt(F.aggregate("va", F.lit(0.0), lambda a, x: a + x * x)))
+        .withColumn("nb", F.sqrt(F.aggregate("vb", F.lit(0.0), lambda a, x: a + x * x)))
+        .withColumn("cosine", F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6))
+    )
+    return scored.where(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")

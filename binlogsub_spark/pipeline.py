@@ -16,7 +16,7 @@ from pyspark.sql import types as T
 
 from binlogsub_spark.config import EngineConfig
 from binlogsub_spark.lake.table import LakeTable
-from binlogsub_spark.operators.dedup import lww_reduce
+from binlogsub_spark.operators.dedup import partial_lww_reduce
 from binlogsub_spark.plans.envelope import OP_DELETE
 
 LINEAGE_SCHEMA = T.StructType(
@@ -98,46 +98,50 @@ def apply_batch(
     /root/reference/packet.cc:207-210; we commit offsets atomically WITH
     the merge by writing them into the same snapshot manifest)."""
     cfg = cfg or EngineConfig()
-    events = events.persist()
-    try:
-        total = events.count()
-        upserts = prepare_upserts(events, cfg)
-        winners = lww_reduce(upserts, salt=cfg.skew_salt)
 
-        wm_row = events.agg(
-            F.max_by(F.struct("file_seq", "log_pos"), F.struct("file_seq", "log_pos")).alias("w")
-        ).collect()[0]["w"]
-        watermark = (
-            {"file_seq": wm_row["file_seq"], "log_pos": wm_row["log_pos"]}
-            if wm_row
-            else None
-        )
+    # One small column-pruned job: per-file_seq offset frontier + counts
+    # (this IS the per-partition lineage of the north rule; the scan reads
+    # only (file_seq, log_pos) thanks to parquet column pruning).
+    per_file = (
+        events.groupBy("file_seq")
+        .agg(F.max("log_pos").alias("max_log_pos"), F.count("*").alias("events"))
+        .collect()
+    )
+    total = sum(r["events"] for r in per_file)
+    watermark = None
+    if per_file:
+        top = max(per_file, key=lambda r: (r["file_seq"], r["max_log_pos"]))
+        watermark = {"file_seq": top["file_seq"], "log_pos": top["max_log_pos"]}
 
-        res = table.merge(winners, batch_id=batch_id, watermark=watermark, pre_reduced=True)
-        applied = res["applied"]
-        metrics = {
-            "batch_id": batch_id,
-            "events": total,
-            "applied": applied,
-            "skipped": total - applied,  # scope-filtered + LWW losers + replays
-            "replayed": res["replayed"],
-            "snapshot_id": res["snapshot_id"],
-        }
+    upserts = prepare_upserts(events, cfg)
+    partials = partial_lww_reduce(upserts, salt=cfg.skew_salt)
+    res = table.merge(partials, batch_id=batch_id, watermark=watermark, pre_reduced=True)
+    applied = res["applied"]
+    metrics = {
+        "batch_id": batch_id,
+        "events": total,
+        "applied": applied,
+        "skipped": total - applied,  # scope-filtered + LWW losers + replays
+        "replayed": res["replayed"],
+        "snapshot_id": res["snapshot_id"],
+    }
 
-        per_file = (
-            events.groupBy("file_seq")
-            .agg(F.max("log_pos").alias("max_log_pos"), F.count("*").alias("events"))
-            .withColumn("batch_id", F.lit(batch_id).cast("long"))
-            .withColumn("applied", F.lit(applied).cast("long"))
-            .withColumn("skipped", F.lit(total - applied).cast("long"))
-            .withColumn("replayed", F.lit(res["replayed"]))
-            .withColumn("snapshot_id", F.lit(res["snapshot_id"]).cast("long"))
-            .select([f.name for f in LINEAGE_SCHEMA.fields])
-        )
-        table.append_lineage(per_file)
-        return metrics
-    finally:
-        events.unpersist()
+    table.append_lineage(
+        [
+            (
+                batch_id,
+                r["file_seq"],
+                r["max_log_pos"],
+                r["events"],
+                applied,
+                total - applied,
+                res["replayed"],
+                res["snapshot_id"],
+            )
+            for r in per_file
+        ]
+    )
+    return metrics
 
 
 def run_stream(
@@ -178,3 +182,79 @@ def run_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def flat_to_upserts(decoded: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """Decoded flat change records (codec.DECODED_SCHEMA) -> upsert rows.
+
+    The raw-path analog of flatten_envelope: scope filter FIRST (P2 before
+    any shuffle — /root/reference/packet.cc:201-205), then version columns.
+    """
+    scoped = decoded.where(
+        F.col("db_name").rlike(cfg.scope.db_regex)
+        & F.col("table_name").rlike(cfg.scope.table_regex)
+    )
+    is_del = F.col("op") == OP_DELETE
+    payload = [
+        F.when(~is_del, F.col(c)).alias(c)
+        for c in cfg.scope.column_names
+        if c not in ("conv_id", "turn_idx", "ts")
+    ]
+    return project_schema_epoch(
+        scoped.select(
+            "conv_id",
+            "turn_idx",
+            *payload,
+            F.col("ts"),
+            F.col("op").alias("_op"),
+            F.col("ts").alias("_ts"),
+            F.col("file_seq").alias("_file_seq"),
+            F.col("log_pos").alias("_log_pos"),
+            F.col("schema_version"),
+        )
+    )
+
+
+def apply_raw_batch(
+    table: LakeTable,
+    raw_events: DataFrame,
+    batch_id: int,
+    cfg: EngineConfig | None = None,
+) -> dict:
+    """Raw wire path: payload:binary -> Arrow decode -> scope filter ->
+    salted partial LWW -> MERGE. The per-partition lineage stats come from
+    the framed header columns (file_seq/log_pos), which the source carries
+    OUTSIDE the payload — so the stats job never pays the decode."""
+    from binlogsub_spark.codec import decode_raw_events
+
+    cfg = cfg or EngineConfig()
+    per_file = (
+        raw_events.groupBy("file_seq")
+        .agg(F.max("log_pos").alias("max_log_pos"), F.count("*").alias("events"))
+        .collect()
+    )
+    total = sum(r["events"] for r in per_file)
+    watermark = None
+    if per_file:
+        top = max(per_file, key=lambda r: (r["file_seq"], r["max_log_pos"]))
+        watermark = {"file_seq": top["file_seq"], "log_pos": top["max_log_pos"]}
+
+    decoded = decode_raw_events(raw_events)
+    partials = partial_lww_reduce(flat_to_upserts(decoded, cfg), salt=cfg.skew_salt)
+    res = table.merge(partials, batch_id=batch_id, watermark=watermark, pre_reduced=True)
+    applied = res["applied"]
+    table.append_lineage(
+        [
+            (batch_id, r["file_seq"], r["max_log_pos"], r["events"], applied,
+             total - applied, res["replayed"], res["snapshot_id"])
+            for r in per_file
+        ]
+    )
+    return {
+        "batch_id": batch_id,
+        "events": total,
+        "applied": applied,
+        "skipped": total - applied,
+        "replayed": res["replayed"],
+        "snapshot_id": res["snapshot_id"],
+    }

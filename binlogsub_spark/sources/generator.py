@@ -47,6 +47,10 @@ class GeneratorParams:
     dup_tail: int = 500  # replayed suffix length
     hot_pct: int = 30  # % of events on the hot conversation
     noise_pct: int = 5  # % of events outside the schema scope
+    # approximate text payload size in characters (0 = minimal marker text).
+    # Real transcript turns run hundreds–thousands of chars; 10^10 events at
+    # ~1 KB/turn is the ~10-100 TB regime the engine targets.
+    text_chars: int = 0
 
 
 def _h(col, salt: int, seed: int):
@@ -94,6 +98,12 @@ def generate_binlog(
         F.lit("m|"), conv_id, F.lit("|t"), turn_idx.cast("string"), F.lit("|e"),
         F.col("id").cast("string"),
     )
+    if p.text_chars > 0:
+        # deterministic filler, unique per event (hash-derived words), so
+        # payload bytes stay content-addressed and dedup-meaningful
+        word = F.concat(F.lit(" w"), (_h(hid, 9, p.seed) % 100000).cast("string"))
+        filler = F.repeat(word, p.text_chars // 8 + 1)
+        text = F.concat(text, F.substring(filler, 1, p.text_chars))
 
     image = F.struct(
         conv_id.alias("conv_id"),

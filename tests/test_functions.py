@@ -1,0 +1,133 @@
+"""Unit semantics for the training-data operators (dedup / similarity /
+text / multimodal)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from binlogsub_spark.functions.dedup import (
+    exact_duplicates,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from binlogsub_spark.functions.multimodal import attach_media, decode_media
+from binlogsub_spark.functions.similarity import cosine_topk, lsh_topk
+from binlogsub_spark.functions.text import lang_id, token_count
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+            (3, "the quick brown fox jumps over the sleepy dog"),  # near dup
+            (4, "completely different content about spark engines"),
+            (5, "  The  QUICK   brown fox jumps over the lazy dog "),  # dup modulo norm
+            (6, "der hund und die katze und das haus und der baum ist"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_dedup_normalized(spark):
+    out = {r["doc_id"]: r for r in exact_duplicates(_docs(spark)).collect()}
+    assert out[1]["keeper_id"] == 1 and not out[1]["is_duplicate"]
+    assert out[2]["keeper_id"] == 1 and out[2]["is_duplicate"]
+    assert out[5]["keeper_id"] == 1 and out[5]["is_duplicate"]  # case/ws-normalized
+    assert out[1]["group_size"] == 3
+    assert not out[3]["is_duplicate"] and not out[4]["is_duplicate"]
+
+
+def test_jaccard_near_dup(spark):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             jaccard_pairs(_docs(spark), threshold=0.4).collect()}
+    assert pairs[(1, 2)] == 1.0 and pairs[(1, 5)] == 1.0
+    assert 0.4 <= pairs[(1, 3)] < 1.0  # one-word change
+    assert (1, 4) not in pairs
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             minhash_lsh_pairs(_docs(spark), threshold=0.4).collect()}
+    assert (1, 2) in pairs and (1, 5) in pairs and (1, 3) in pairs
+    assert (1, 4) not in pairs
+
+
+def test_simhash_exact_dup_hamming_zero(spark):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             simhash_pairs(_docs(spark), max_hamming=12).collect()}
+    assert pairs[(1, 2)] == 0 and pairs[(1, 5)] == 0
+    # doc 6 is unrelated: expected Hamming ~31 of 63 bits — far above 12
+    assert (1, 6) not in pairs
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat is on the mat and the dog"),
+         (2, "der hund und die katze ist das"),
+         (3, "xyzzy qwerty plugh")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["lang"] for r in
+           df.select("doc_id", lang_id(F.col("text")).alias("lang")).collect()}
+    assert out[1] == "en" and out[2] == "de" and out[3] == "und"
+
+
+def test_token_count_edges(spark):
+    df = spark.createDataFrame([(1, ""), (2, "   "), (3, "one"), (4, " a  b ")],
+                               "doc_id long, text string")
+    out = {r["doc_id"]: r["n"] for r in
+           df.select("doc_id", token_count(F.col("text")).alias("n")).collect()}
+    assert out == {1: 0, 2: 0, 3: 1, 4: 2}
+
+
+def test_arrow_topk_equals_expression_topk(spark):
+    """The numpy-matmul path and the pure-expression path must rank
+    identically (validates the partial-topk + final-window reduction)."""
+    import __spark_entry__ as entry
+
+    a = entry.q_similarity_cosine_topk(spark, SF).toPandas()
+    b = entry.q_similarity_ann_arrow_topk(spark, SF).toPandas()
+    cols = ["query_id", "vec_id", "cosine", "rank"]
+    a = a[cols].sort_values(cols).reset_index(drop=True)
+    b = b[cols].sort_values(cols).reset_index(drop=True)
+    assert a.equals(b.astype(a.dtypes.to_dict()))
+
+
+def test_lsh_topk_is_subset_quality(spark):
+    """LSH hits must be true high-cosine neighbors: every LSH rank-1 result
+    must appear in the exact brute-force top-20 of that query."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, q, k=20).toPandas()
+    approx = lsh_topk(emb, q, k=1, planes=4).toPandas()
+    exact_sets = exact.groupby("query_id")["vec_id"].apply(set).to_dict()
+    hits = sum(
+        1 for r in approx.itertuples() if r.vec_id in exact_sets.get(r.query_id, set())
+    )
+    assert hits >= len(approx) * 0.5  # recall sanity at tiny scale
+
+
+def test_multimodal_plumbing(spark):
+    d = spark.createDataFrame([(1, b"abc"), (2, b"defgh")], "doc_id long, payload binary")
+    m = attach_media(d, "doc_id", "payload", kind="image")
+    rows = {r["media_id"]: r for r in decode_media(m).collect()}
+    assert rows[1]["n_bytes"] == 3 and rows[2]["n_bytes"] == 5
+    assert len(rows[1]["sha256"]) == 64
+    assert 64 <= rows[1]["width"] < 256 and 64 <= rows[1]["height"] < 256
+    assert len(rows[1]["feature"]) == 8
+    # deterministic: same payload -> same features
+    rows2 = {r["media_id"]: r for r in decode_media(m).collect()}
+    assert rows[1]["feature"] == rows2[1]["feature"]
+
+
+def test_resize_stub_raises(spark):
+    import pytest as _pytest
+
+    from binlogsub_spark.functions.multimodal import resize_stub
+
+    with _pytest.raises(NotImplementedError):
+        resize_stub(None)
