@@ -289,13 +289,22 @@ def uint_korr(buf: np.ndarray, pos: np.ndarray, width: int) -> np.ndarray:
 
 
 # ---------------------------------------------------------- DF-level enc --
-def encode_decoded_events(flat_df: DataFrame) -> DataFrame:
-    """Inverse of decode_raw_events: flat change records -> RAW_SCHEMA rows.
+def encode_decoded_events(
+    flat_df: DataFrame, passthrough: tuple[str, ...] = ()
+) -> DataFrame:
+    """Inverse of decode_raw_events: flat change records -> RAW_SCHEMA rows
+    (plus any ``passthrough`` columns, e.g. delivery_seq for arrival-order
+    file layout).
 
     Fixture-generation path only (the golden-decode tests run
     decode(encode(x)) == x); correctness matters, speed does not.
     """
     from binlogsub_spark.plans.envelope import RAW_SCHEMA
+
+    out_schema = T.StructType(
+        list(RAW_SCHEMA.fields)
+        + [flat_df.schema[c] for c in passthrough]
+    )
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -316,12 +325,13 @@ def encode_decoded_events(flat_df: DataFrame) -> DataFrame:
                         r.text,
                     )
                 )
-            yield pd.DataFrame(
-                {
-                    "file_seq": pdf["file_seq"].astype("int32"),
-                    "log_pos": pdf["log_pos"].astype("int64"),
-                    "payload": payloads,
-                }
-            )
+            out = {
+                "file_seq": pdf["file_seq"].astype("int32"),
+                "log_pos": pdf["log_pos"].astype("int64"),
+                "payload": payloads,
+            }
+            for c in passthrough:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
-    return flat_df.mapInPandas(_encode, schema=RAW_SCHEMA)
+    return flat_df.mapInPandas(_encode, schema=out_schema)

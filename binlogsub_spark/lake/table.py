@@ -74,7 +74,15 @@ class LakeTable:
     def _current_pointer(self) -> str:
         return os.path.join(self.manifest_dir, "CURRENT")
 
-    def snapshot(self) -> dict | None:
+    def snapshot(self, snapshot_id: int | None = None) -> dict | None:
+        """Current snapshot, or a historical one by id (time travel — every
+        manifest is immutable, so any committed state stays readable)."""
+        if snapshot_id is not None:
+            p = os.path.join(self.manifest_dir, f"snap-{snapshot_id:08d}.json")
+            if not os.path.exists(p):
+                return None
+            with open(p) as f:
+                return json.load(f)
         ptr = self._current_pointer()
         if not os.path.exists(ptr):
             return None
@@ -144,10 +152,13 @@ class LakeTable:
             )
         return df.select(*cols, F.col("_bucket"))
 
-    def read_internal(self, buckets: list[int] | None = None) -> DataFrame:
+    def read_internal(
+        self, buckets: list[int] | None = None, snapshot_id: int | None = None
+    ) -> DataFrame:
         """All rows incl. tombstones + version cols + _bucket, optionally
-        restricted to a bucket subset (merge-time pruning)."""
-        snap = self.snapshot()
+        restricted to a bucket subset (merge-time pruning) and/or pinned to
+        a historical snapshot (time travel)."""
+        snap = self.snapshot(snapshot_id)
         schema = self._schema(snap)
         locs: dict[str, str | None] = snap["bucket_locations"]
         want = set(range(self.buckets) if buckets is None else buckets)
@@ -168,13 +179,14 @@ class LakeTable:
             df = df.unionByName(p)
         return df
 
-    def read(self) -> DataFrame:
-        """User-facing view: live rows only, no internal columns."""
-        snap = self.snapshot()
+    def read(self, snapshot_id: int | None = None) -> DataFrame:
+        """User-facing view: live rows only, no internal columns.
+        ``snapshot_id`` pins a historical state (time travel)."""
+        snap = self.snapshot(snapshot_id)
         schema = self._schema(snap)
         user_cols = [f.name for f in schema.fields if f.name not in VERSION_COLUMNS]
         return (
-            self.read_internal()
+            self.read_internal(snapshot_id=snapshot_id)
             .where(F.col("_op") != "D")
             .select(*user_cols)
         )

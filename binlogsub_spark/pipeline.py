@@ -258,3 +258,35 @@ def apply_raw_batch(
         "replayed": res["replayed"],
         "snapshot_id": res["snapshot_id"],
     }
+
+
+def run_stream_raw(
+    spark: SparkSession,
+    source_path: str,
+    table: LakeTable,
+    checkpoint_dir: str,
+    cfg: EngineConfig | None = None,
+    max_files_per_trigger: int = 4,
+    available_now: bool = True,
+):
+    """Structured Streaming over the BINARY wire table (payload:binary):
+    the full reference-equivalent path — framing columns outside the
+    payload, Arrow decode inside foreachBatch."""
+    from binlogsub_spark.plans.envelope import RAW_SCHEMA
+
+    cfg = cfg or EngineConfig()
+    reader = (
+        spark.readStream.schema(RAW_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_path)
+    )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        apply_raw_batch(table, batch_df, batch_id, cfg)
+
+    writer = reader.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

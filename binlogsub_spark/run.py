@@ -37,16 +37,31 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--max-files-per-trigger", type=int, default=4)
     ap.add_argument("--master", default=None)
     ap.add_argument("--timeout-sec", type=int, default=3600)
+    ap.add_argument(
+        "--raw", action="store_true",
+        help="binary wire mode: source rows are (file_seq, log_pos, "
+        "payload:binary); decode runs as an Arrow kernel inside each batch",
+    )
+    ap.add_argument("--merge-strategy", choices=["jvm", "arrow_local"], default="jvm")
     args = ap.parse_args(argv)
 
     spark = get_spark(app_name="binlogsub-ingest", master=args.master)
     if args.generate:
-        write_binlog(
-            spark, args.source, GeneratorParams(n_events=args.generate), n_files=16
-        )
+        params = GeneratorParams(n_events=args.generate)
+        if args.raw:
+            from binlogsub_spark.sources.generator import write_raw_binlog
 
-    table = LakeTable(spark, args.table, buckets=args.buckets)
-    q = run_stream(
+            write_raw_binlog(spark, args.source, params, n_files=16)
+        else:
+            write_binlog(spark, args.source, params, n_files=16)
+
+    table = LakeTable(
+        spark, args.table, buckets=args.buckets, merge_strategy=args.merge_strategy
+    )
+    runner = run_stream
+    if args.raw:
+        from binlogsub_spark.pipeline import run_stream_raw as runner
+    q = runner(
         spark,
         args.source,
         table,

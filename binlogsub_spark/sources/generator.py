@@ -164,3 +164,42 @@ def write_binlog(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def flatten_for_wire(events: DataFrame) -> DataFrame:
+    """Envelope -> the flat wire layout the binary codec packs (keeps
+    delivery_seq for arrival-order file layout)."""
+    img = F.when(F.col("op") == "D", F.col("before")).otherwise(F.col("after"))
+    return events.select(
+        "delivery_seq", "file_seq", "log_pos", "server_ts", "op",
+        "db_name", "table_name", "schema_version",
+        img["conv_id"].alias("conv_id"),
+        img["turn_idx"].alias("turn_idx"),
+        img["role"].alias("role"),
+        img["text"].alias("text"),
+        F.when(F.col("op") == "D", F.lit(None).cast("string"))
+        .otherwise(img["tool"]).alias("tool"),
+        img["ts"].alias("ts"),
+    )
+
+
+def write_raw_binlog(
+    spark: SparkSession,
+    path: str,
+    params: GeneratorParams = GeneratorParams(),
+    n_files: int = 16,
+) -> None:
+    """Materialize the BINARY wire variant: (file_seq, log_pos,
+    payload:binary) parquet, range-partitioned by arrival order — the
+    engine input that exercises the Arrow decode kernels end-to-end."""
+    from binlogsub_spark.codec import encode_decoded_events
+
+    flat = flatten_for_wire(generate_binlog(spark, params))
+    raw = encode_decoded_events(flat, passthrough=("delivery_seq",))
+    (
+        raw.repartitionByRange(n_files, "delivery_seq")
+        .sortWithinPartitions("delivery_seq")
+        .drop("delivery_seq")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
