@@ -333,6 +333,32 @@ def q_cdc_raw_decode(spark, sf):
     return decode_raw_events(encode_decoded_events(flat))
 
 
+def q_cdc_deadletter_demux(spark, sf):
+    """S5 error/OK demux (rows-only): corrupt ~20% of wire payloads, route
+    them to the dead-letter branch, return per-branch accounting."""
+    from binlogsub_spark.codec import encode_decoded_events, split_deadletter
+    from binlogsub_spark.sources.generator import (
+        GeneratorParams,
+        flatten_for_wire,
+        generate_binlog,
+    )
+
+    ev = generate_binlog(spark, GeneratorParams(n_events=2000, dup_tail=0))
+    raw = encode_decoded_events(flatten_for_wire(ev).drop("delivery_seq"))
+    corrupted = raw.withColumn(
+        "payload",
+        F.when(F.col("log_pos") % 10 == 4, F.expr("substring(payload, 1, 20)"))
+        .otherwise(F.col("payload")),
+    )
+    valid, dead = split_deadletter(corrupted)
+    return (
+        valid.select(F.lit("valid").alias("branch"), "file_seq", "log_pos")
+        .unionByName(dead.select(F.lit("dead_letter").alias("branch"), "file_seq", "log_pos"))
+        .groupBy("branch")
+        .agg(F.count("*").alias("n"), F.max("log_pos").alias("max_log_pos"))
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keyed LWW latest-state (the engine's core reduction) on
     sf0.001."""
@@ -352,6 +378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_props_json": q_cdc_props_json,
         "cdc_pipeline_e2e": q_cdc_pipeline_e2e,
         "cdc_raw_decode": q_cdc_raw_decode,
+        "cdc_deadletter_demux": q_cdc_deadletter_demux,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,

@@ -375,6 +375,33 @@ class LakeTable:
         return self.spark.read.parquet(self.lineage_dir)
 
     # ---------------------------------------------------------- maintenance
+    def vacuum(self, keep_snapshots: int = 10) -> dict:
+        """Remove data files unreachable from the last ``keep_snapshots``
+        manifests — crash-orphans (a merge that died after writing data but
+        before committing) and commits expired out of the time-travel
+        window. Metadata-only traversal; no Spark job."""
+        import shutil
+
+        snaps = self.history()
+        if not snaps:
+            return {"removed_dirs": 0}
+        keep = snaps[-keep_snapshots:]
+        live_commits = {
+            loc for s in keep for loc in s["bucket_locations"].values() if loc
+        }
+        removed = 0
+        if os.path.isdir(self.data_dir):
+            for d in os.listdir(self.data_dir):
+                if d.startswith("commit-") and d not in live_commits:
+                    shutil.rmtree(os.path.join(self.data_dir, d), ignore_errors=True)
+                    removed += 1
+        # expire old manifests (keep the retained window)
+        keep_names = {f"snap-{s['snapshot_id']:08d}.json" for s in keep}
+        for n in os.listdir(self.manifest_dir):
+            if n.startswith("snap-") and n not in keep_names:
+                os.remove(os.path.join(self.manifest_dir, n))
+        return {"removed_dirs": removed, "kept_snapshots": len(keep)}
+
     def compact(self) -> dict:
         """Rewrite all live buckets into a single commit dir — bounds the
         number of commit dirs a read must union (small-files problem)."""

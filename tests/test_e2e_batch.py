@@ -161,3 +161,28 @@ def test_time_travel_read(spark, tmp_path):
     )
     pd.testing.assert_frame_equal(back, state1)
     assert len(table.history()) >= 2
+
+
+def test_vacuum_removes_orphans_keeps_live(spark, tmp_path):
+    """Crash-orphaned commit dirs disappear; every live bucket file and the
+    retained time-travel window survive."""
+    import os
+    import shutil
+
+    ev = generate_binlog(spark, GeneratorParams(n_events=2000, dup_tail=0))
+    table = LakeTable(spark, str(tmp_path / "tbl"), buckets=8)
+    apply_batch(table, ev.where("delivery_seq < 1000"), batch_id=1)
+    apply_batch(table, ev.where("delivery_seq >= 1000"), batch_id=2)
+    before = table.read().toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+    # simulate a crashed merge: data written, no manifest
+    orphan = os.path.join(table.data_dir, "commit-99999999")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "junk.parquet"), "w") as f:
+        f.write("not really parquet")
+
+    res = table.vacuum(keep_snapshots=10)
+    assert res["removed_dirs"] >= 1
+    assert not os.path.exists(orphan)
+    after = table.read().toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(before, after)
