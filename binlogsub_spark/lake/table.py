@@ -104,9 +104,21 @@ class LakeTable:
         return out
 
     def _commit(self, manifest: dict) -> None:
+        """Atomic snapshot publish with optimistic concurrency: the manifest
+        file create is exclusive ('x' mode), so two writers racing to
+        publish the same snapshot_id fail loudly instead of silently
+        clobbering each other (single-writer-per-table is the deployment
+        contract, as with Iceberg's metastore swap; this guard turns a
+        violated contract into an error, not corruption)."""
         os.makedirs(self.manifest_dir, exist_ok=True)
         name = f"snap-{manifest['snapshot_id']:08d}.json"
-        with open(os.path.join(self.manifest_dir, name), "w") as f:
+        cur = self.snapshot()
+        if cur is not None and cur["snapshot_id"] >= manifest["snapshot_id"]:
+            raise RuntimeError(
+                f"concurrent commit detected: snapshot {manifest['snapshot_id']}"
+                f" already superseded by {cur['snapshot_id']}"
+            )
+        with open(os.path.join(self.manifest_dir, name), "x") as f:
             json.dump(manifest, f, indent=1, default=str)
         tmp = self._current_pointer() + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:

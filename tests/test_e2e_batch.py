@@ -186,3 +186,27 @@ def test_vacuum_removes_orphans_keeps_live(spark, tmp_path):
     assert not os.path.exists(orphan)
     after = table.read().toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(before, after)
+
+
+def test_salted_partial_reduce_bounds_hot_key(spark):
+    """Skew evidence (SURVEY.md §5 #6): the hot conversation holds ~30% of
+    events, but after the salted partial reduce no single (key) group
+    carries more than `salt` rows — the merge-apply stage never sees the
+    raw skew."""
+    from pyspark.sql import functions as F
+
+    from binlogsub_spark.operators.dedup import partial_lww_reduce
+    from binlogsub_spark.pipeline import prepare_upserts
+    from binlogsub_spark.config import EngineConfig
+
+    ev = generate_binlog(spark, GeneratorParams(n_events=8000, dup_tail=0))
+    ups = prepare_upserts(ev, EngineConfig())
+    hot_in = ups.where("conv_id = 'conv_hot'").count()
+    assert hot_in > 1500  # raw skew present (~30%)
+    partials = partial_lww_reduce(ups, salt=8)
+    per_key = (
+        partials.groupBy("conv_id", "turn_idx").agg(F.count("*").alias("n"))
+    )
+    assert per_key.agg(F.max("n")).collect()[0][0] <= 8
+    hot_out = partials.where("conv_id = 'conv_hot'").count()
+    assert hot_out <= 50 * 8  # max_turns * salt
