@@ -58,6 +58,13 @@ def run_bench(sf_dir: str, cpus: int, ingest_events: int | None = None) -> dict:
     )
     tmp = tempfile.mkdtemp(prefix="binlogsub_bench_")
     try:
+        # JIT/codegen warmup on a throwaway table so the timed replay
+        # measures steady-state, not JVM warmup
+        warm = generate_binlog(spark, GeneratorParams(n_events=20_000, dup_tail=0))
+        apply_batch(
+            LakeTable(spark, os.path.join(tmp, "warm"), buckets=8), warm, batch_id=1
+        )
+
         events = generate_binlog(spark, params)
         table = LakeTable(spark, os.path.join(tmp, "tbl"), buckets=max(cpus, 16))
         t0 = time.time()
