@@ -55,3 +55,7 @@ class EngineConfig:
     # rewrites only touched buckets (copy-on-write granularity). At 100 TB
     # this is the knob that bounds per-commit rewrite volume.
     table_buckets: int = 32
+    # Auto-compact after this many commits: a long-running stream otherwise
+    # accumulates one commit dir per micro-batch and the read-side union
+    # grows without bound. 0 disables.
+    compact_every: int = 64

@@ -117,6 +117,14 @@ def apply_batch(
     partials = partial_lww_reduce(upserts, salt=cfg.skew_salt)
     res = table.merge(partials, batch_id=batch_id, watermark=watermark, pre_reduced=True)
     applied = res["applied"]
+    if (
+        cfg.compact_every
+        and not res["replayed"]
+        and res["snapshot_id"] % cfg.compact_every == 0
+    ):
+        # bound the number of live commit dirs a read must union; commits
+        # stay immutable, so this is safe mid-stream (new snapshot only)
+        table.compact()
     metrics = {
         "batch_id": batch_id,
         "events": total,
@@ -243,6 +251,12 @@ def apply_raw_batch(
     partials = partial_lww_reduce(flat_to_upserts(decoded, cfg), salt=cfg.skew_salt)
     res = table.merge(partials, batch_id=batch_id, watermark=watermark, pre_reduced=True)
     applied = res["applied"]
+    if (
+        cfg.compact_every
+        and not res["replayed"]
+        and res["snapshot_id"] % cfg.compact_every == 0
+    ):
+        table.compact()
     table.append_lineage(
         [
             (batch_id, r["file_seq"], r["max_log_pos"], r["events"], applied,

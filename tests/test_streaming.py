@@ -77,3 +77,76 @@ def test_kill_and_restart_identical_state(spark, tmp_path):
         lin[~lin["replayed"]].groupby(["batch_id", "file_seq"])["events"].first().sum()
     )
     assert int(total_unique) <= P.n_events + P.dup_tail
+
+
+def test_long_stream_auto_compaction(spark, tmp_path):
+    """Many micro-batches must not accumulate unbounded commit dirs: with
+    compact_every=4, the live-commit count stays bounded and the final
+    state still matches the oracle."""
+    from binlogsub_spark.config import EngineConfig
+    from binlogsub_spark.pipeline import apply_batch
+
+    p = GeneratorParams(n_events=4000, n_convs=80, dup_tail=0)
+    ev = generate_binlog(spark, p).cache()
+    table = LakeTable(spark, str(tmp_path / "tbl"), buckets=8)
+    cfg = EngineConfig(compact_every=4)
+    n_batches = 10
+    for i in range(n_batches):
+        lo, hi = i * 400, (i + 1) * 400
+        apply_batch(
+            table,
+            ev.where((ev.delivery_seq >= lo) & (ev.delivery_seq < hi)),
+            batch_id=i + 1,
+            cfg=cfg,
+        )
+    live_commits = {
+        v for v in table.snapshot()["bucket_locations"].values() if v
+    }
+    assert len(live_commits) <= 5  # bounded, not ~10
+    got = (
+        table.read()
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)[["conv_id", "turn_idx", "role", "text", "tool", "ts"]]
+    )
+    pd.testing.assert_frame_equal(
+        got, expected_final_state(ev.toPandas()), check_dtype=False
+    )
+    ev.unpersist()
+
+
+def test_raw_stream_kill_and_restart(spark, tmp_path):
+    """Raw wire mode is equally resumable: kill after partial progress,
+    restart from checkpoint, final state identical to structured oracle."""
+    import time
+
+    from binlogsub_spark.pipeline import run_stream_raw
+    from binlogsub_spark.sources.generator import write_raw_binlog
+
+    p = GeneratorParams(n_events=4000, n_convs=80, dup_tail=150)
+    src = str(tmp_path / "rawlog")
+    write_raw_binlog(spark, src, p, n_files=8)
+    table = LakeTable(spark, str(tmp_path / "tbl"), buckets=8)
+    ckpt = str(tmp_path / "ckpt")
+
+    q = run_stream_raw(spark, src, table, ckpt, max_files_per_trigger=2,
+                       available_now=False)
+    deadline = time.monotonic() + 180
+    while table.snapshot() is None:
+        if q.exception() is not None:
+            raise q.exception()
+        assert time.monotonic() < deadline
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(60)
+
+    q2 = run_stream_raw(spark, src, table, ckpt, max_files_per_trigger=4)
+    q2.awaitTermination(300)
+    got = (
+        table.read()
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)[["conv_id", "turn_idx", "role", "text", "tool", "ts"]]
+    )
+    exp = expected_final_state(generate_binlog(spark, p).toPandas())
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
