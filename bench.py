@@ -107,6 +107,29 @@ def run_bench(sf_dir: str, cpus: int, ingest_events: int | None = None) -> dict:
         t0 = time.time()
         apply_batch(table, inc, batch_id=2, cfg=EngineConfig())
         timings["cdc_ingest_incremental"] = round(time.time() - t0, 3)
+
+        # raw wire path: binary payload -> Arrow decode -> LWW -> MERGE
+        from binlogsub_spark.pipeline import apply_raw_batch
+        from binlogsub_spark.sources.generator import write_raw_binlog
+
+        raw_events_n = max(ingest_events // 10, 50_000)
+        raw_src = os.path.join(tmp, "rawlog")
+        write_raw_binlog(
+            spark,
+            raw_src,
+            GeneratorParams(
+                n_events=raw_events_n, n_convs=params.n_convs,
+                dup_tail=0, events_per_file=65536,
+            ),
+            n_files=max(cpus, 16),
+        )
+        raw = spark.read.parquet(raw_src)
+        raw.count()
+        raw_table = LakeTable(spark, os.path.join(tmp, "rawtbl"), buckets=max(cpus, 16))
+        t0 = time.time()
+        apply_raw_batch(raw_table, raw, batch_id=1, cfg=EngineConfig())
+        raw_sec = time.time() - t0
+        timings["cdc_ingest_raw_decode"] = round(raw_sec, 3)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -141,6 +164,7 @@ def run_bench(sf_dir: str, cpus: int, ingest_events: int | None = None) -> dict:
         "cpus": cpus,
         "ingest_events": total_events,
         "events_per_sec_applied": round(total_events / ingest_sec, 1),
+        "raw_decode_events_per_sec": round(raw_events_n / raw_sec, 1),
     }
 
 
