@@ -13,8 +13,12 @@ rows-only and additionally asserted against independent oracles in tests/.
 from __future__ import annotations
 
 import os
+import sys
 import tempfile
 from collections.abc import Callable
+
+# make the sibling package importable however this file is loaded
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
