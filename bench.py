@@ -112,7 +112,7 @@ def run_bench(sf_dir: str, cpus: int, ingest_events: int | None = None) -> dict:
         from binlogsub_spark.pipeline import apply_raw_batch
         from binlogsub_spark.sources.generator import write_raw_binlog
 
-        raw_events_n = max(ingest_events // 10, 50_000)
+        raw_events_n = max(ingest_events // 2, 100_000)
         raw_src = os.path.join(tmp, "rawlog")
         write_raw_binlog(
             spark,

@@ -163,9 +163,10 @@ def decode_payload_batch(payloads: pd.Series) -> pd.DataFrame:
     conv = np.char.decode(np.char.rstrip(h["conv_id"], b"\x00"), "utf-8")
     texts = pd.Series(raw).str.slice(HEADER_LEN).str.decode("utf-8")
     tool_codes = h["tool"]
-    tool = pd.Series(
-        np.where(tool_codes == 0xFF, None, np.char.add("tool_", tool_codes.astype(str)))
-    )
+    # small-domain dictionary lookup instead of per-row string building
+    # (the ENUM decode trick — codes index a table, event.cc:607-636)
+    tool_lut = np.array([f"tool_{i}" for i in range(255)] + [None], dtype=object)
+    tool = pd.Series(tool_lut[np.minimum(tool_codes, 255)])
     ts = pd.to_datetime(h["ts_micros"].astype("int64"), unit="us")
 
     return pd.DataFrame(
