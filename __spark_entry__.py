@@ -224,6 +224,43 @@ def q_similarity_lsh_topk(spark, sf):
     )
 
 
+def q_similarity_embedding_pairs(spark, sf):
+    """Embedding near-dup pairs with an exact SQL oracle: anchor subset
+    (vec_id % 10 == 0) vs full corpus, cosine >= 0.2, pure JVM fold."""
+    e = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = e.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va")
+    )
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(F.aggregate("va", F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda acc, x: acc + x * x))
+    return (
+        F.broadcast(a)
+        .join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(dot / (na * nb), 4))
+        .where(F.col("cosine") >= 0.2)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def q_similarity_ivf_topk(spark, sf):
+    """IVF-style ANN (rows-only): coarse quantize the corpus to hash-seeded
+    centroids, probe the query's nearest cells only, exact rescoring inside
+    probed cells. Recall vs brute force is pytest-asserted."""
+    from binlogsub_spark.functions.similarity import ivf_topk
+
+    emb = _t(spark, sf, "embeddings")
+    return ivf_topk(emb, emb.where(F.col("vec_id") < 20), k=5).select(
+        "query_id", "vec_id", F.round("cosine", 4).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_text_token_count(spark, sf):
     from binlogsub_spark.functions.text import bpe_ish_token_count, token_count
 
@@ -391,6 +428,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_cosine_topk": q_similarity_cosine_topk,
         "similarity_ann_arrow_topk": q_similarity_ann_arrow_topk,
         "similarity_lsh_topk": q_similarity_lsh_topk,
+        "similarity_ivf_topk": q_similarity_ivf_topk,
+        "similarity_embedding_pairs": q_similarity_embedding_pairs,
         "text_token_count": q_text_token_count,
         "text_quality_score": q_text_quality_score,
         "text_lang_id": q_text_lang_id,
@@ -501,6 +540,18 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, row_number() OVER (
                   PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
               FROM s) WHERE rank <= 5
+        """,
+        "similarity_embedding_pairs": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            a AS (SELECT vec_id AS id_a, v AS va FROM e WHERE vec_id % 10 = 0)
+            SELECT id_a, e.vec_id AS id_b,
+                   round(list_dot_product(a.va, e.v)
+                         / (sqrt(list_dot_product(a.va, a.va))
+                            * sqrt(list_dot_product(e.v, e.v))), 4) AS cosine
+            FROM a JOIN e ON a.id_a < e.vec_id
+            WHERE round(list_dot_product(a.va, e.v)
+                        / (sqrt(list_dot_product(a.va, a.va))
+                           * sqrt(list_dot_product(e.v, e.v))), 4) >= 0.2
         """,
         "text_token_count": f"""
             SELECT doc_id,

@@ -211,3 +211,106 @@ def embedding_near_dup(
         .withColumn("cosine", F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6))
     )
     return scored.where(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")
+
+
+def _exact_rescore_topk(
+    cand: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Exact cosine rescoring of candidate (q_id, c_id) pairs + final
+    per-query top-k window (shared by the LSH and IVF paths)."""
+    cvec = corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
+    qvec = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    scored = (
+        cand.join(cvec, "c_id")
+        .join(F.broadcast(qvec), "q_id")
+        .withColumn(
+            "dot",
+            F.aggregate(
+                F.zip_with("q_vec", "c_vec", lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .withColumn("norm_q", F.sqrt(F.aggregate("q_vec", F.lit(0.0), lambda a, x: a + x * x)))
+        .withColumn("norm_c", F.sqrt(F.aggregate("c_vec", F.lit(0.0), lambda a, x: a + x * x)))
+        .withColumn("cosine", F.round(F.col("dot") / (F.col("norm_q") * F.col("norm_c")), 6))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("vec_id"),
+            "cosine",
+            "rank",
+        )
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse-quantize the corpus into
+    ``n_cells`` cells (centroids = deterministically hash-sampled corpus
+    vectors, broadcast), probe each query's ``n_probe`` nearest cells, and
+    exactly rescore only inside probed cells. Candidate generation is an
+    equi-join on cell id — the inverted-file structure; at 100 TB the cell
+    assignment is a write-once clustering column and probing prunes the
+    scan to n_probe/n_cells of the corpus."""
+    spark = corpus.sparkSession
+    cent_rows = (
+        corpus.select(id_col, vec_col)
+        .withColumn("_h", F.xxhash64(F.col(id_col), F.lit(seed)))
+        .orderBy("_h")
+        .limit(n_cells)
+        .collect()
+    )
+    cmat = _normalize(np.array([r[vec_col] for r in cent_rows], dtype=np.float64))
+    bc = spark.sparkContext.broadcast(cmat)
+
+    def _assigner(top: int, out_name: str):
+        schema = T.StructType(
+            [T.StructField(out_name, T.LongType()), T.StructField("cell", T.IntegerType())]
+        )
+
+        def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            C = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                mat = _normalize(np.array(list(pdf[vec_col]), dtype=np.float64))
+                sims = mat @ C.T
+                t = min(top, sims.shape[1])
+                idx = np.argpartition(-sims, t - 1, axis=1)[:, :t]
+                ids = pdf[id_col].to_numpy(np.int64)
+                yield pd.DataFrame(
+                    {out_name: np.repeat(ids, t), "cell": idx.ravel().astype(np.int32)}
+                )
+
+        return _assign, schema
+
+    fn_c, sc_c = _assigner(1, "c_id")
+    corpus_cells = corpus.select(id_col, vec_col).mapInPandas(fn_c, schema=sc_c)
+    fn_q, sc_q = _assigner(n_probe, "q_id")
+    query_cells = queries.select(id_col, vec_col).mapInPandas(fn_q, schema=sc_q)
+
+    cand = (
+        query_cells.join(corpus_cells, "cell")
+        .where(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id")
+        .distinct()
+    )
+    return _exact_rescore_topk(cand, corpus, queries, k, id_col, vec_col)

