@@ -145,42 +145,12 @@ def lsh_topk(
     qb = _bucket_ids(queries, vec_col, planes, seed, id_col).withColumnRenamed(
         id_col, "q_id"
     )
-    cand = qb.join(cb, "bucket").where(F.col("q_id") != F.col("c_id"))
-
-    cvec = corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
-    qvec = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
-    scored = (
-        cand.join(cvec, "c_id")
-        .join(F.broadcast(qvec), "q_id")
-        .withColumn(
-            "dot",
-            F.aggregate(
-                F.zip_with("q_vec", "c_vec", lambda a, b: a * b),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-        )
-        .withColumn(
-            "norm_q",
-            F.sqrt(F.aggregate("q_vec", F.lit(0.0), lambda a, x: a + x * x)),
-        )
-        .withColumn(
-            "norm_c",
-            F.sqrt(F.aggregate("c_vec", F.lit(0.0), lambda a, x: a + x * x)),
-        )
-        .withColumn("cosine", F.round(F.col("dot") / (F.col("norm_q") * F.col("norm_c")), 6))
+    cand = (
+        qb.join(cb, "bucket")
+        .where(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id")
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(
-            F.col("q_id").alias("query_id"),
-            F.col("c_id").alias("vec_id"),
-            "cosine",
-            "rank",
-        )
-    )
+    return _exact_rescore_topk(cand, corpus, queries, k, id_col, vec_col)
 
 
 def embedding_near_dup(
