@@ -42,23 +42,27 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
-HEADER_LEN = 55
-_HEADER_DTYPE = np.dtype(
-    [
-        ("file_seq", "<u4"),
-        ("log_pos", "<u8"),
-        ("ts_micros", "<u8"),
-        ("op", "u1"),
-        ("schema_version", "u1"),
-        ("scope", "u1"),
-        ("role", "u1"),
-        ("tool", "u1"),
-        ("turn_idx", "<u4"),
-        ("conv_id", "S24"),
-        ("text_len", "<u2"),
-    ]
-)
-assert _HEADER_DTYPE.itemsize == HEADER_LEN
+_COMMON_PREFIX = [
+    ("file_seq", "<u4"),
+    ("log_pos", "<u8"),
+    ("ts_micros", "<u8"),
+    ("op", "u1"),
+    ("schema_version", "u1"),
+    ("scope", "u1"),
+    ("role", "u1"),
+]
+_SUFFIX = [("turn_idx", "<u4"), ("conv_id", "S24"), ("text_len", "<u2")]
+# Epoch-versioned layouts (in-band schema evolution at the BYTE level, like
+# the reference's table-map epochs, /root/reference/packet.cc:141-152):
+# schema_version 1 frames physically lack the tool byte.
+_HEADER_DTYPES = {
+    1: np.dtype(_COMMON_PREFIX + _SUFFIX),
+    2: np.dtype(_COMMON_PREFIX + [("tool", "u1")] + _SUFFIX),
+}
+_VERSION_OFFSET = 21  # schema_version byte position (common prefix)
+HEADER_LENS = {v: dt.itemsize for v, dt in _HEADER_DTYPES.items()}
+HEADER_LEN = HEADER_LENS[2]  # v2 (current epoch) header size
+assert HEADER_LENS == {1: 54, 2: 55}
 
 _OPS = np.array(["I", "U", "D"])
 _ROLES = np.array(["user", "assistant", "tool"])
@@ -101,22 +105,26 @@ def encode_record(
     conv_id: str,
     text: str,
 ) -> bytes:
-    """Pack one event (generator/fixture side; not a hot path)."""
+    """Pack one event (generator/fixture side; not a hot path). The frame
+    layout follows the record's own schema_version: epoch-1 frames have no
+    tool byte (the column did not exist yet)."""
     text_b = text.encode("utf-8")
-    tool_code = 0xFF if tool is None else int(tool.rsplit("_", 1)[-1])
+    head = struct.pack(
+        "<IQQBBBB",
+        file_seq,
+        log_pos,
+        ts_micros,
+        {"I": 0, "U": 1, "D": 2}[op],
+        schema_version,
+        scope,
+        {"user": 0, "assistant": 1, "tool": 2}[role],
+    )
+    if schema_version >= 2:
+        tool_code = 0xFF if tool is None else int(tool.rsplit("_", 1)[-1])
+        head += struct.pack("<B", tool_code)
     return (
-        struct.pack(
-            "<IQQBBBBBI",
-            file_seq,
-            log_pos,
-            ts_micros,
-            {"I": 0, "U": 1, "D": 2}[op],
-            schema_version,
-            scope,
-            {"user": 0, "assistant": 1, "tool": 2}[role],
-            tool_code,
-            turn_idx,
-        )
+        head
+        + struct.pack("<I", turn_idx)
         + conv_id.encode("utf-8").ljust(24, b"\x00")
         + struct.pack("<H", len(text_b))
         + text_b
@@ -124,51 +132,63 @@ def encode_record(
 
 
 # ---------------------------------------------------------------- decode --
+def _versions_of(payloads_np: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """schema_version byte per record (0 where the frame is too short to
+    even carry the common prefix)."""
+    vb = np.zeros(len(payloads_np), dtype=np.uint8)
+    long_enough = lens > _VERSION_OFFSET
+    if long_enough.any():
+        vb[long_enough] = np.frombuffer(
+            b"".join(bytes(r[_VERSION_OFFSET : _VERSION_OFFSET + 1])
+                     for r in payloads_np[long_enough]),
+            dtype=np.uint8,
+        )
+    return vb
+
+
 def validate_payload_batch(payloads: pd.Series) -> np.ndarray:
     """Vectorized structural validation — the engine's analog of the
     reference's error-packet demux (/root/reference/packet.cc:360-373:
     first byte 0xff -> ErrorPacket branch). Returns a bool mask of valid
     records; invalid ones go to the dead-letter branch instead of
-    aborting the stream like the reference does."""
+    aborting the stream like the reference does. Validation is
+    epoch-aware: the frame's own schema_version byte selects its layout."""
     lens = payloads.map(len).to_numpy()
-    ok = lens >= HEADER_LEN
-    if ok.any():
-        raw = payloads.to_numpy()
-        hdr = b"".join(bytes(r[:HEADER_LEN]) for r in raw[ok])
-        h = np.frombuffer(hdr, dtype=_HEADER_DTYPE)
+    raw = payloads.to_numpy()
+    versions = _versions_of(raw, lens)
+    ok = np.zeros(len(raw), dtype=bool)
+    for v, dt in _HEADER_DTYPES.items():
+        hl = dt.itemsize
+        grp = (versions == v) & (lens >= hl)
+        if not grp.any():
+            continue
+        hdr = b"".join(bytes(r[:hl]) for r in raw[grp])
+        h = np.frombuffer(hdr, dtype=dt)
         good = (
             (h["op"] <= 2)
             & (h["role"] <= 2)
             & (h["scope"] <= 1)
-            & (h["text_len"] == (lens[ok] - HEADER_LEN))
+            & (h["text_len"] == (lens[grp] - hl))
         )
-        ok_idx = np.flatnonzero(ok)
-        ok[ok_idx[~good]] = False
+        idx = np.flatnonzero(grp)
+        ok[idx[good]] = True
     return ok
 
 
-def decode_payload_batch(payloads: pd.Series) -> pd.DataFrame:
-    """Decode one Arrow batch of raw event payloads, vectorized.
-    Precondition: payloads already validated (see validate_payload_batch)."""
-    n = len(payloads)
-    if n == 0:
-        return pd.DataFrame(
-            {f.name: pd.Series([], dtype=object) for f in DECODED_SCHEMA.fields}
-        )
-    raw = payloads.to_numpy()
-    # Single C-level pass: concatenate fixed headers, one frombuffer decode.
-    headers = b"".join(bytes(r[:HEADER_LEN]) for r in raw)
-    h = np.frombuffer(headers, dtype=_HEADER_DTYPE)
-
+def _decode_group(raw: np.ndarray, dt: np.dtype) -> pd.DataFrame:
+    """Decode one same-epoch group: one frombuffer pass + vectorized ops."""
+    hl = dt.itemsize
+    h = np.frombuffer(b"".join(bytes(r[:hl]) for r in raw), dtype=dt)
     conv = np.char.decode(np.char.rstrip(h["conv_id"], b"\x00"), "utf-8")
-    texts = pd.Series(raw).str.slice(HEADER_LEN).str.decode("utf-8")
-    tool_codes = h["tool"]
-    # small-domain dictionary lookup instead of per-row string building
-    # (the ENUM decode trick — codes index a table, event.cc:607-636)
-    tool_lut = np.array([f"tool_{i}" for i in range(255)] + [None], dtype=object)
-    tool = pd.Series(tool_lut[np.minimum(tool_codes, 255)])
+    texts = pd.Series(raw).str.slice(hl).str.decode("utf-8")
+    if "tool" in dt.names:
+        # small-domain dictionary lookup instead of per-row string building
+        # (the ENUM decode trick — codes index a table, event.cc:607-636)
+        tool_lut = np.array([f"tool_{i}" for i in range(255)] + [None], dtype=object)
+        tool = pd.Series(tool_lut[h["tool"]])
+    else:
+        tool = pd.Series([None] * len(raw), dtype=object)  # pre-evolution epoch
     ts = pd.to_datetime(h["ts_micros"].astype("int64"), unit="us")
-
     return pd.DataFrame(
         {
             "file_seq": h["file_seq"].astype("int32"),
@@ -186,6 +206,32 @@ def decode_payload_batch(payloads: pd.Series) -> pd.DataFrame:
             "ts": ts,
         }
     )
+
+
+def decode_payload_batch(payloads: pd.Series) -> pd.DataFrame:
+    """Decode one Arrow batch of raw event payloads, vectorized. The frame's
+    own schema_version byte selects the epoch layout (v1 has no tool byte),
+    so the batch splits into per-epoch groups, each decoded in one
+    frombuffer pass — the in-band schema lookup the reference does per
+    event via its table-map cache (/root/reference/packet.cc:194-200),
+    amortized to per-group here.
+    Precondition: payloads already validated (see validate_payload_batch)."""
+    n = len(payloads)
+    if n == 0:
+        return pd.DataFrame(
+            {f.name: pd.Series([], dtype=object) for f in DECODED_SCHEMA.fields}
+        )
+    raw = payloads.to_numpy()
+    lens = payloads.map(len).to_numpy()
+    versions = _versions_of(raw, lens)
+    parts = [
+        _decode_group(raw[versions == v], dt)
+        for v, dt in _HEADER_DTYPES.items()
+        if (versions == v).any()
+    ]
+    if len(parts) == 1:
+        return parts[0]
+    return pd.concat(parts, ignore_index=True)
 
 
 def decode_raw_events(raw_df: DataFrame, skip_invalid: bool = True) -> DataFrame:

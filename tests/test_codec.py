@@ -98,3 +98,28 @@ def test_uint_korr_widths():
     for w in range(1, 9):
         expect = int.from_bytes(raw[:w], "little")
         assert int(uint_korr(arr, pos, w)[0]) == expect
+
+
+def test_epoch_versioned_frames(spark):
+    """schema_version 1 frames physically lack the tool byte (in-band
+    epoch layout change); a mixed-epoch batch decodes correctly."""
+    from binlogsub_spark.codec import HEADER_LENS, encode_record
+
+    v1 = encode_record(0, 4, 1_700_000_000_000_000, "I", 1, 0, "user", None, 3, "c1", "hello")
+    v2 = encode_record(0, 132, 1_700_000_001_000_000, "I", 2, 0, "tool", "tool_3", 4, "c1", "world")
+    assert len(v1) == HEADER_LENS[1] + 5
+    assert len(v2) == HEADER_LENS[2] + 5
+
+    import pandas as pd
+
+    from binlogsub_spark.codec import decode_payload_batch, validate_payload_batch
+
+    batch = pd.Series([v1, v2])
+    assert validate_payload_batch(batch).all()
+    out = decode_payload_batch(batch).sort_values("log_pos").reset_index(drop=True)
+    assert out.loc[0, "schema_version"] == 1 and out.loc[0, "tool"] is None
+    assert out.loc[0, "text"] == "hello" and out.loc[0, "turn_idx"] == 3
+    assert out.loc[1, "schema_version"] == 2 and out.loc[1, "tool"] == "tool_3"
+    # a v2-length frame mislabeled v1 fails validation (text_len mismatch)
+    bad = v2[:21] + b"\x01" + v2[22:]
+    assert not validate_payload_batch(pd.Series([bad])).any()
