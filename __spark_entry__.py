@@ -333,6 +333,77 @@ def q_multimodal_decode_features(spark, sf):
     )
 
 
+_ETYPE_ENUM = ("click", "error", "purchase", "signup", "view")
+
+
+def _mysql_events_tmap():
+    from binlogsub_spark.mysql_binlog import (
+        MYSQL_TYPE_DATETIME2,
+        MYSQL_TYPE_ENUM,
+        MYSQL_TYPE_LONG,
+        MYSQL_TYPE_LONGLONG,
+        MYSQL_TYPE_NEWDECIMAL,
+        MYSQL_TYPE_STRING,
+        MYSQL_TYPE_TINY,
+        MYSQL_TYPE_VARCHAR,
+        MysqlColumn,
+        TableMap,
+    )
+
+    return TableMap(
+        table_id=7,
+        db="test",
+        table="events_cdc",
+        columns=[
+            MysqlColumn("id", MYSQL_TYPE_LONGLONG, nullable=False),
+            MysqlColumn("user_id", MYSQL_TYPE_LONG),
+            MysqlColumn(
+                "etype", MYSQL_TYPE_STRING, meta=(MYSQL_TYPE_ENUM, 1),
+                enum_values=_ETYPE_ENUM,
+            ),
+            MysqlColumn("score", MYSQL_TYPE_NEWDECIMAL, meta=(18, 4)),
+            MysqlColumn("ts", MYSQL_TYPE_DATETIME2, meta=6),
+            MysqlColumn("k", MYSQL_TYPE_TINY),
+            MysqlColumn("props", MYSQL_TYPE_VARCHAR, meta=512),
+        ],
+    )
+
+
+def q_cdc_mysql_row_decode(spark, sf):
+    """The reference's core competency made real (event.cc:104-221 table
+    map, 246-342 rows events + bitmaps, 413-809 ParseColumnValue): events
+    are packed into GENUINE MySQL-format binlog frames (multi-row
+    WRITE_ROWS v2, CRC32 checksums, in-stream TABLE_MAP control events),
+    then decoded by the vectorized wave kernel. The DuckDB oracle is the
+    identity projection — so every decoded byte is value-checked."""
+    from binlogsub_spark.mysql_binlog import (
+        decode_mysql_events,
+        encode_rows_df,
+        extract_table_maps,
+    )
+
+    tmap = _mysql_events_tmap()
+    ev = _t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    flat = ev.select(
+        F.col("event_id").alias("id"),
+        "user_id",
+        F.array_position(
+            F.array(*[F.lit(s) for s in _ETYPE_ENUM]), F.col("event_type")
+        ).cast("long").alias("etype"),
+        F.round("value", 4).alias("score"),
+        "ts",
+        F.when(k % 7 == 0, F.lit(None).cast("long")).otherwise(k % 100).alias("k"),
+        "props",
+    )
+    raw = encode_rows_df(flat, tmap, rows_per_event=4, checksum=True)
+    registry = extract_table_maps(raw, checksum=True)
+    decoded = decode_mysql_events(
+        raw, registry, column_overrides={7: tmap.columns}, checksum=True
+    )
+    return decoded.select("op", "id", "user_id", "etype", "score", "ts", "k", "props")
+
+
 # --------------------------------------------------------------- engine e2e
 def q_cdc_pipeline_e2e(spark, sf):
     """The full engine, end to end (rows-only check; the pandas + DuckDB
@@ -418,6 +489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_applied_skipped_metrics": q_cdc_applied_skipped_metrics,
         "cdc_props_json": q_cdc_props_json,
         "cdc_pipeline_e2e": q_cdc_pipeline_e2e,
+        "cdc_mysql_row_decode": q_cdc_mysql_row_decode,
         "cdc_raw_decode": q_cdc_raw_decode,
         "cdc_deadletter_demux": q_cdc_deadletter_demux,
         "dedup_exact": q_dedup_exact,
@@ -491,8 +563,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*) AS n_events,
                    min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
                    max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
-                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
             FROM events GROUP BY event_type
+        """,
+        "cdc_mysql_row_decode": """
+            SELECT 'I' AS op, event_id AS id, user_id, event_type AS etype,
+                   round(value, 4) AS score, ts,
+                   CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 = 0
+                        THEN NULL
+                        ELSE CAST(json_extract_string(props, '$.k') AS BIGINT) % 100
+                   END AS k,
+                   props
+            FROM events
         """,
         "dedup_exact": f"""
             WITH fp AS (SELECT doc_id, md5({_NORM}) AS fp FROM documents),

@@ -19,16 +19,21 @@ Wire format (one event record; all integers little-endian, mirroring the
      21   1 schema_version u8
      22   1 scope          u8  (0 -> test.transcripts, 1 -> other.noise)
      23   1 role           u8  (0 user, 1 assistant, 2 tool)
-     24   1 tool           u8  (0xff = NULL — the reference degrades NULL to
-                                "" (/root/reference/event.cc:386-390); we
+     24   1 tool           u8  (0xff = RESERVED NULL sentinel — tool codes
+                                must be 0..254; the reference degrades NULL
+                                to "" (/root/reference/event.cc:386-390); we
                                 keep a real null, an explicit improvement)
      25   4 turn_idx       u32
      29  24 conv_id        NUL-padded utf-8 (fixed width => vectorizable)
      53   2 text_len       u16
      55   * text           utf-8
 
-The fixed 55-byte prefix decodes with a single structured ``np.frombuffer``
-per batch; only the trailing varlen text needs a (C-level) join+slice pass.
+Decode operates on the Arrow batch's own buffers, zero-copy: the payload
+column's (offsets, data) buffers become ONE contiguous uint8 array plus
+int64 frame boundaries; the fixed-width header is a single fancy-indexing
+gather viewed as a structured dtype, and the varlen text is one
+repeat/cumsum gather into a new Arrow string buffer. No per-row Python
+objects exist anywhere on the hot path.
 """
 
 from __future__ import annotations
@@ -120,7 +125,15 @@ def encode_record(
         {"user": 0, "assistant": 1, "tool": 2}[role],
     )
     if schema_version >= 2:
-        tool_code = 0xFF if tool is None else int(tool.rsplit("_", 1)[-1])
+        if tool is None:
+            tool_code = 0xFF  # reserved NULL sentinel (see module docstring)
+        else:
+            tool_code = int(tool.rsplit("_", 1)[-1])
+            if not 0 <= tool_code <= 0xFE:
+                raise ValueError(
+                    f"tool code {tool_code} out of range 0..254 "
+                    "(0xff is the reserved NULL sentinel)"
+                )
         head += struct.pack("<B", tool_code)
     return (
         head
@@ -132,145 +145,253 @@ def encode_record(
 
 
 # ---------------------------------------------------------------- decode --
-def _versions_of(payloads_np: np.ndarray, lens: np.ndarray) -> np.ndarray:
-    """schema_version byte per record (0 where the frame is too short to
-    even carry the common prefix)."""
-    vb = np.zeros(len(payloads_np), dtype=np.uint8)
-    long_enough = lens > _VERSION_OFFSET
-    if long_enough.any():
-        vb[long_enough] = np.frombuffer(
-            b"".join(bytes(r[_VERSION_OFFSET : _VERSION_OFFSET + 1])
-                     for r in payloads_np[long_enough]),
-            dtype=np.uint8,
-        )
-    return vb
+# Dead-letter reason codes — the analog of ErrorPacket's errcode
+# (/root/reference/packet.cc:16-30), recorded per rejected frame so the
+# dead-letter table is explainable downstream.
+REASON_OK = 0
+REASON_SHORT_FRAME = 1
+REASON_BAD_VERSION = 2
+REASON_BAD_ENUM = 3
+REASON_LEN_MISMATCH = 4
+REASON_BAD_UTF8 = 5
+REASON_NAMES = np.array(
+    ["ok", "short_frame", "bad_version", "bad_enum", "len_mismatch", "bad_utf8"]
+)
+
+
+def _binary_buffers(arr) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Zero-copy (starts, ends, data) views of an Arrow Binary/LargeBinary
+    array — the whole batch's bytes as ONE contiguous uint8 buffer plus
+    int64 frame boundaries. No per-row Python objects are ever created."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    off_dtype = (
+        np.int64
+        if (pa.types.is_large_binary(arr.type) or pa.types.is_large_string(arr.type))
+        else np.int32
+    )
+    bufs = arr.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=off_dtype)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64, copy=False)
+    data = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None
+        else np.zeros(0, np.uint8)
+    )
+    starts, ends = offsets[:-1], offsets[1:]
+    if arr.null_count:
+        # null payloads become zero-length frames -> dead-letter short_frame
+        valid = np.array(arr.is_valid(), dtype=bool)
+        ends = np.where(valid, ends, starts)
+    return starts, ends, data
+
+
+def _gather_headers(data: np.ndarray, starts: np.ndarray, dt: np.dtype) -> np.ndarray:
+    """Fixed-width header gather: one fancy-indexing pass builds an (n, hl)
+    uint8 matrix viewed as the structured header dtype — the vectorized
+    replacement for per-row slice+join."""
+    hl = dt.itemsize
+    m = data[starts[:, None] + np.arange(hl, dtype=np.int64)]
+    return np.ascontiguousarray(m).view(dt).reshape(len(starts))
+
+
+def validate_reasons(
+    starts: np.ndarray, ends: np.ndarray, data: np.ndarray
+) -> np.ndarray:
+    """Vectorized frame validation returning a per-frame reason code
+    (REASON_OK = valid). The engine's analog of the reference's error-packet
+    demux (/root/reference/packet.cc:360-373: first byte 0xff -> ErrorPacket
+    branch), epoch-aware: the frame's own schema_version byte selects its
+    layout. Beyond structure, conv_id/text must decode as UTF-8 — a frame
+    with intact framing but garbage text is dead-lettered here rather than
+    exploding inside the typed decode."""
+    n = len(starts)
+    lens = ends - starts
+    reasons = np.zeros(n, dtype=np.uint8)
+    reasons[lens <= _VERSION_OFFSET] = REASON_SHORT_FRAME
+    long_enough = reasons == 0
+    versions = np.zeros(n, dtype=np.uint8)
+    versions[long_enough] = data[starts[long_enough] + _VERSION_OFFSET]
+    known = np.isin(versions, list(_HEADER_DTYPES))
+    reasons[long_enough & ~known] = REASON_BAD_VERSION
+    # one cumulative non-ASCII count over the whole batch buffer: frames that
+    # are pure ASCII (the overwhelmingly common case) skip UTF-8 work entirely
+    csum = np.zeros(len(data) + 1, dtype=np.int64)
+    np.cumsum(data >= 0x80, out=csum[1:])
+    for v, dt in _HEADER_DTYPES.items():
+        hl = dt.itemsize
+        grp = np.flatnonzero((reasons == 0) & (versions == v))
+        if grp.size == 0:
+            continue
+        short = lens[grp] < hl
+        reasons[grp[short]] = REASON_SHORT_FRAME
+        grp = grp[~short]
+        if grp.size == 0:
+            continue
+        h = _gather_headers(data, starts[grp], dt)
+        bad_enum = (h["op"] > 2) | (h["role"] > 2) | (h["scope"] > 1)
+        mismatch = ~bad_enum & (h["text_len"].astype(np.int64) != (lens[grp] - hl))
+        reasons[grp[bad_enum]] = REASON_BAD_ENUM
+        reasons[grp[mismatch]] = REASON_LEN_MISMATCH
+        cand = grp[~bad_enum & ~mismatch]
+        if cand.size:
+            suspects = cand[csum[ends[cand]] - csum[starts[cand]] > 0]
+            for i in suspects:
+                frame = bytes(data[starts[i] : ends[i]])
+                try:
+                    # conv_id is the 24 bytes ending 2 before the header end
+                    frame[hl - 26 : hl - 2].rstrip(b"\x00").decode("utf-8")
+                    frame[hl:].decode("utf-8")
+                except UnicodeDecodeError:
+                    reasons[i] = REASON_BAD_UTF8
+    return reasons
+
+
+_TOOL_LUT = [f"tool_{i}" for i in range(255)] + [None]  # 0xff -> NULL sentinel
+
+
+def _decode_group_arrow(
+    data: np.ndarray, starts: np.ndarray, ends: np.ndarray, dt: np.dtype
+):
+    """Decode one same-epoch group of frames into Arrow arrays: one header
+    gather + one varlen text gather; every enum is a dictionary `take`
+    (the ENUM decode trick — codes index a table, event.cc:607-636)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    hl = dt.itemsize
+    n = len(starts)
+    h = _gather_headers(data, starts, dt)
+    conv = np.char.decode(np.char.rstrip(h["conv_id"], b"\x00"), "utf-8")
+
+    # varlen text: one repeat/cumsum gather into a contiguous string buffer
+    text_lens = ends - starts - hl
+    out_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(text_lens, out=out_off[1:])
+    total = int(out_off[-1])
+    idx = np.repeat(starts + hl, text_lens) + (
+        np.arange(total, dtype=np.int64) - np.repeat(out_off[:-1], text_lens)
+    )
+    texts = pa.Array.from_buffers(
+        pa.string(),
+        n,
+        [None, pa.py_buffer(out_off.astype(np.int32)), pa.py_buffer(data[idx])],
+    )
+
+    def _take(lut: list, codes: np.ndarray):
+        return pc.take(pa.array(lut, type=pa.string()), pa.array(codes.astype(np.int64)))
+
+    ts = pa.array(h["ts_micros"].astype("int64")).cast(pa.timestamp("us"))
+    if "tool" in dt.names:
+        tool = _take(_TOOL_LUT, h["tool"])
+    else:
+        tool = pa.nulls(n, pa.string())  # pre-evolution epoch
+    return {
+        "file_seq": pa.array(h["file_seq"].astype("int32")),
+        "log_pos": pa.array(h["log_pos"].astype("int64")),
+        "server_ts": ts,
+        "op": _take(list(_OPS), h["op"]),
+        "db_name": _take(list(_DBS), h["scope"]),
+        "table_name": _take(list(_TABLES), h["scope"]),
+        "schema_version": pa.array(h["schema_version"].astype("int32")),
+        "conv_id": pa.array(conv),
+        "turn_idx": pa.array(h["turn_idx"].astype("int32")),
+        "role": _take(list(_ROLES), h["role"]),
+        "text": texts,
+        "tool": tool,
+        "ts": ts,
+    }
+
+
+def _decode_frames_arrow(data, starts, ends):
+    """Valid frames -> list of per-epoch column dicts (the batch splits into
+    per-epoch groups, each decoded in one gather pass — the in-band schema
+    lookup the reference does per event via its table-map cache,
+    /root/reference/packet.cc:194-200, amortized to per-group here)."""
+    versions = (
+        data[starts + _VERSION_OFFSET]
+        if len(starts)
+        else np.zeros(0, dtype=np.uint8)
+    )
+    out = []
+    for v, dt in _HEADER_DTYPES.items():
+        g = versions == v
+        if g.any():
+            out.append(_decode_group_arrow(data, starts[g], ends[g], dt))
+    return out
 
 
 def validate_payload_batch(payloads: pd.Series) -> np.ndarray:
-    """Vectorized structural validation — the engine's analog of the
-    reference's error-packet demux (/root/reference/packet.cc:360-373:
-    first byte 0xff -> ErrorPacket branch). Returns a bool mask of valid
-    records; invalid ones go to the dead-letter branch instead of
-    aborting the stream like the reference does. Validation is
-    epoch-aware: the frame's own schema_version byte selects its layout."""
-    lens = payloads.map(len).to_numpy()
-    raw = payloads.to_numpy()
-    versions = _versions_of(raw, lens)
-    ok = np.zeros(len(raw), dtype=bool)
-    for v, dt in _HEADER_DTYPES.items():
-        hl = dt.itemsize
-        grp = (versions == v) & (lens >= hl)
-        if not grp.any():
-            continue
-        hdr = b"".join(bytes(r[:hl]) for r in raw[grp])
-        h = np.frombuffer(hdr, dtype=dt)
-        good = (
-            (h["op"] <= 2)
-            & (h["role"] <= 2)
-            & (h["scope"] <= 1)
-            & (h["text_len"] == (lens[grp] - hl))
-        )
-        idx = np.flatnonzero(grp)
-        ok[idx[good]] = True
-    return ok
+    """pandas-facing wrapper: bool mask of structurally+UTF-8-valid frames."""
+    import pyarrow as pa
 
-
-def _decode_group(raw: np.ndarray, dt: np.dtype) -> pd.DataFrame:
-    """Decode one same-epoch group: one frombuffer pass + vectorized ops."""
-    hl = dt.itemsize
-    h = np.frombuffer(b"".join(bytes(r[:hl]) for r in raw), dtype=dt)
-    conv = np.char.decode(np.char.rstrip(h["conv_id"], b"\x00"), "utf-8")
-    texts = pd.Series(raw).str.slice(hl).str.decode("utf-8")
-    if "tool" in dt.names:
-        # small-domain dictionary lookup instead of per-row string building
-        # (the ENUM decode trick — codes index a table, event.cc:607-636)
-        tool_lut = np.array([f"tool_{i}" for i in range(255)] + [None], dtype=object)
-        tool = pd.Series(tool_lut[h["tool"]])
-    else:
-        tool = pd.Series([None] * len(raw), dtype=object)  # pre-evolution epoch
-    ts = pd.to_datetime(h["ts_micros"].astype("int64"), unit="us")
-    return pd.DataFrame(
-        {
-            "file_seq": h["file_seq"].astype("int32"),
-            "log_pos": h["log_pos"].astype("int64"),
-            "server_ts": ts,
-            "op": _OPS[h["op"]],
-            "db_name": _DBS[h["scope"]],
-            "table_name": _TABLES[h["scope"]],
-            "schema_version": h["schema_version"].astype("int32"),
-            "conv_id": conv,
-            "turn_idx": h["turn_idx"].astype("int32"),
-            "role": _ROLES[h["role"]],
-            "text": texts,
-            "tool": tool,
-            "ts": ts,
-        }
-    )
+    starts, ends, data = _binary_buffers(pa.array(payloads, type=pa.binary()))
+    return validate_reasons(starts, ends, data) == REASON_OK
 
 
 def decode_payload_batch(payloads: pd.Series) -> pd.DataFrame:
-    """Decode one Arrow batch of raw event payloads, vectorized. The frame's
-    own schema_version byte selects the epoch layout (v1 has no tool byte),
-    so the batch splits into per-epoch groups, each decoded in one
-    frombuffer pass — the in-band schema lookup the reference does per
-    event via its table-map cache (/root/reference/packet.cc:194-200),
-    amortized to per-group here.
+    """pandas-facing wrapper over the Arrow-buffer decode (tests/fixtures).
     Precondition: payloads already validated (see validate_payload_batch)."""
-    n = len(payloads)
-    if n == 0:
-        return pd.DataFrame(
-            {f.name: pd.Series([], dtype=object) for f in DECODED_SCHEMA.fields}
-        )
-    raw = payloads.to_numpy()
-    lens = payloads.map(len).to_numpy()
-    versions = _versions_of(raw, lens)
+    import pyarrow as pa
+
+    names = [f.name for f in DECODED_SCHEMA.fields]
+    if len(payloads) == 0:
+        return pd.DataFrame({c: pd.Series([], dtype=object) for c in names})
+    starts, ends, data = _binary_buffers(pa.array(payloads, type=pa.binary()))
     parts = [
-        _decode_group(raw[versions == v], dt)
-        for v, dt in _HEADER_DTYPES.items()
-        if (versions == v).any()
+        pa.table(cols).to_pandas() for cols in _decode_frames_arrow(data, starts, ends)
     ]
-    if len(parts) == 1:
-        return parts[0]
-    return pd.concat(parts, ignore_index=True)
+    return parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
 
 
 def decode_raw_events(raw_df: DataFrame, skip_invalid: bool = True) -> DataFrame:
-    """payload:binary -> typed change records via mapInPandas (Arrow batches).
-    Structurally invalid payloads are dropped here (route them to a
-    dead-letter sink first via ``split_deadletter`` if they must be kept)."""
+    """payload:binary -> typed change records via mapInArrow: the payload
+    column's own Arrow buffers are indexed directly (zero-copy), so the hot
+    path never materializes a Python bytes object per row. Structurally
+    invalid payloads are dropped here (route them to a dead-letter sink
+    first via ``split_deadletter`` if they must be kept)."""
+    import pyarrow as pa
 
-    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payloads = pdf["payload"]
-            if skip_invalid and len(payloads):
-                payloads = payloads[validate_payload_batch(payloads)]
-            yield decode_payload_batch(payloads.reset_index(drop=True))
+    def _decode(batches) -> Iterator["pa.RecordBatch"]:
+        for rb in batches:
+            arr = rb.column(rb.schema.get_field_index("payload"))
+            starts, ends, data = _binary_buffers(arr)
+            if skip_invalid:
+                keep = validate_reasons(starts, ends, data) == REASON_OK
+                starts, ends = starts[keep], ends[keep]
+            for cols in _decode_frames_arrow(data, starts, ends):
+                yield pa.RecordBatch.from_pydict(cols)
 
-    return raw_df.mapInPandas(_decode, schema=DECODED_SCHEMA)
+    return raw_df.mapInArrow(_decode, schema=DECODED_SCHEMA)
 
 
 def split_deadletter(raw_df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """S5 demux: (valid, dead_letter). Both sides keep the framing columns
-    so dead-lettered events stay addressable by (file_seq, log_pos) — the
-    reference just logs and aborts (/root/reference/packet.cc:16-30); a
-    pipeline at scale must keep flowing and account for them."""
-    from binlogsub_spark.plans.envelope import RAW_SCHEMA  # noqa: F401
+    so dead-lettered events stay addressable by (file_seq, log_pos), and the
+    dead side carries a ``_reason`` code naming the failed check — the
+    reference just logs errno and aborts (/root/reference/packet.cc:16-30);
+    a pipeline at scale must keep flowing and account for *why*."""
+    import pyarrow as pa
 
     flag_schema = T.StructType(
-        list(raw_df.schema.fields) + [T.StructField("_valid", T.BooleanType())]
+        list(raw_df.schema.fields)
+        + [T.StructField("_valid", T.BooleanType()), T.StructField("_reason", T.StringType())]
     )
 
-    def _flag(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = pdf.copy()
-            out["_valid"] = (
-                validate_payload_batch(pdf["payload"]) if len(pdf) else []
-            )
-            yield out
+    def _flag(batches) -> Iterator["pa.RecordBatch"]:
+        for rb in batches:
+            arr = rb.column(rb.schema.get_field_index("payload"))
+            starts, ends, data = _binary_buffers(arr)
+            reasons = validate_reasons(starts, ends, data)
+            rb = rb.append_column("_valid", pa.array(reasons == REASON_OK))
+            yield rb.append_column("_reason", pa.array(REASON_NAMES[reasons]))
 
-    flagged = raw_df.mapInPandas(_flag, schema=flag_schema)
+    flagged = raw_df.mapInArrow(_flag, schema=flag_schema)
     return (
-        flagged.where(F.col("_valid")).drop("_valid"),
+        flagged.where(F.col("_valid")).drop("_valid", "_reason"),
         flagged.where(~F.col("_valid")).drop("_valid"),
     )
 

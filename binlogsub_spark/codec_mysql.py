@@ -43,9 +43,17 @@ def decimal_to_bin(value: Decimal, precision: int, scale: int) -> bytes:
     sign = value < 0
     value = -value if sign else value
     q = value.quantize(Decimal(1).scaleb(-scale), context=_d.Context(prec=80))
-    digits = f"{q:.{scale}f}".replace(".", "").rjust(precision, "0")
+    s = f"{q:.{scale}f}"
+    int_part, _, frac_part = s.partition(".")
     intg = precision - scale
-    int_digits, frac_digits = digits[:intg], digits[intg:]
+    # frac digits are exactly the last `scale` formatted digits; the integer
+    # digits are whatever precedes the point, right-aligned into `intg` slots
+    # (precision == scale means zero integer digits — the formatted leading
+    # "0" must NOT leak into the fraction).
+    if len(int_part.lstrip("0")) > intg:
+        raise ValueError(f"{value} does not fit DECIMAL({precision},{scale})")
+    int_digits = int_part.rjust(intg, "0")[-intg:] if intg else ""
+    frac_digits = frac_part
 
     out = bytearray()
 
@@ -154,24 +162,42 @@ def decode_timestamp2(buf: bytes, fsp: int = 0) -> tuple[int, int]:
 def decode_time2(buf: bytes, fsp: int = 0) -> tuple[int, int, int, int, int]:
     """TIME2 (type 19): 3-byte big-endian, offset-binary around 0x800000
     {1 sign, 1 reserved, 10 hour, 6 minute, 6 second} + frac
-    (my_time.cc:12-79). Returns (sign, hours, minutes, seconds, micros)."""
-    packed = int.from_bytes(buf[:3], "big") - 0x800000
-    sign = -1 if packed < 0 else 1
-    v = -packed if packed < 0 else packed
+    (my_time.cc:12-79). Returns (sign, hours, minutes, seconds, micros).
+
+    The int+frac pair is ONE two's-complement-style quantity: a negative
+    time with a nonzero fraction stores intpart-1 and (0x100**nbytes -
+    frac_units), so disk ``7FFFFF FF`` (fsp 2) is -00:00:00.01 — not
+    -00:00:01.0xFF (MySQL my_time.h TIME_from_longlong_time_packed)."""
+    nbytes = (fsp + 1) // 2
+    intpart = int.from_bytes(buf[:3], "big") - 0x800000
+    frac_units = int.from_bytes(buf[3 : 3 + nbytes], "big") if nbytes else 0
+    sign = -1 if intpart < 0 else 1
+    if intpart < 0 and frac_units:
+        intpart += 1
+        frac_units = 0x100**nbytes - frac_units
+    v = -intpart if intpart < 0 else intpart
     hours = (v >> 12) & 0x3FF
     minutes = (v >> 6) & 0x3F
     seconds = v & 0x3F
-    micros, _ = _read_frac(buf, 3, fsp)
+    micros = frac_units * 10 ** (6 - 2 * nbytes) if nbytes else 0
     return sign, hours, minutes, seconds, micros
 
 
 def encode_time2(sign, h, mi, s, micros=0, fsp=0) -> bytes:
-    v = (h << 12) | (mi << 6) | s
-    packed = 0x800000 + (v if sign >= 0 else -v)
-    out = packed.to_bytes(3, "big")
     nbytes = (fsp + 1) // 2
+    frac_units = micros // 10 ** (6 - 2 * nbytes) if nbytes else 0
+    v = (h << 12) | (mi << 6) | s
+    if sign < 0:
+        if frac_units:
+            intpart = -(v + 1)
+            frac = 0x100**nbytes - frac_units
+        else:
+            intpart, frac = -v, 0
+    else:
+        intpart, frac = v, frac_units
+    out = (0x800000 + intpart).to_bytes(3, "big")
     if nbytes:
-        out += (micros // 10 ** (6 - 2 * nbytes)).to_bytes(nbytes, "big")
+        out += frac.to_bytes(nbytes, "big")
     return out
 
 

@@ -171,6 +171,13 @@ class LakeTable:
         restricted to a bucket subset (merge-time pruning) and/or pinned to
         a historical snapshot (time travel)."""
         snap = self.snapshot(snapshot_id)
+        if snap is None:
+            if snapshot_id is not None:
+                raise ValueError(
+                    f"snapshot {snapshot_id} does not exist (never committed, "
+                    f"or expired by vacuum()) for table {self.path}"
+                )
+            raise ValueError(f"table {self.path} has no committed snapshot")
         schema = self._schema(snap)
         locs: dict[str, str | None] = snap["bucket_locations"]
         want = set(range(self.buckets) if buckets is None else buckets)
@@ -195,6 +202,13 @@ class LakeTable:
         """User-facing view: live rows only, no internal columns.
         ``snapshot_id`` pins a historical state (time travel)."""
         snap = self.snapshot(snapshot_id)
+        if snap is None:
+            if snapshot_id is not None:
+                raise ValueError(
+                    f"snapshot {snapshot_id} does not exist (never committed, "
+                    f"or expired by vacuum()) for table {self.path}"
+                )
+            raise ValueError(f"table {self.path} has no committed snapshot")
         schema = self._schema(snap)
         user_cols = [f.name for f in schema.fields if f.name not in VERSION_COLUMNS]
         return (

@@ -123,3 +123,31 @@ def test_epoch_versioned_frames(spark):
     # a v2-length frame mislabeled v1 fails validation (text_len mismatch)
     bad = v2[:21] + b"\x01" + v2[22:]
     assert not validate_payload_batch(pd.Series([bad])).any()
+
+
+def test_tool_code_range_rejected():
+    """Tool codes collide with the 0xff NULL sentinel at 255 — encode must
+    reject them loudly instead of silently decoding tool_255 as NULL."""
+    import pytest
+
+    from binlogsub_spark.codec import encode_record
+
+    kw = dict(file_seq=1, log_pos=4, ts_micros=0, op="I", schema_version=2,
+              scope=0, role="user", turn_idx=0, conv_id="c", text="t")
+    assert encode_record(tool="tool_254", **kw)  # max legal code
+    with pytest.raises(ValueError, match="0..254"):
+        encode_record(tool="tool_255", **kw)
+    with pytest.raises(ValueError, match="0..254"):
+        encode_record(tool="tool_300", **kw)
+
+
+def test_lake_read_without_snapshot_raises_clearly(spark, tmp_path):
+    import pytest
+
+    from binlogsub_spark.lake.table import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "empty_tbl"), buckets=4)
+    with pytest.raises(ValueError, match="no committed snapshot"):
+        t.read()
+    with pytest.raises(ValueError, match="no committed snapshot"):
+        t.read_internal()

@@ -104,3 +104,30 @@ def test_time2_sign_and_fields():
     assert decode_time2(pos) == (1, 838, 59, 59, 0)
     neg = encode_time2(-1, 10, 30, 15, micros=500000, fsp=2)
     assert decode_time2(neg, fsp=2) == (-1, 10, 30, 15, 500000)
+
+
+def test_time2_negative_fraction_parity():
+    """MySQL stores a negative fractional TIME as (intpart-1,
+    0x100**nbytes - frac): disk 7FFFFF.FF must be -00:00:00.01, and the
+    whole negative-with-frac family must round-trip."""
+    raw = bytes.fromhex("7fffff") + bytes([0xFF])
+    assert decode_time2(raw, fsp=2) == (-1, 0, 0, 0, 10000)
+    assert encode_time2(-1, 0, 0, 0, 10000, fsp=2) == raw
+    for fsp in (1, 2, 3, 4, 5, 6):
+        nbytes = (fsp + 1) // 2
+        unit = 10 ** (6 - 2 * nbytes)
+        for micros in (unit, 250000 // unit * unit, 990000 // unit * unit):
+            enc = encode_time2(-1, 2, 3, 4, micros, fsp)
+            assert decode_time2(enc, fsp) == (-1, 2, 3, 4, micros)
+
+
+def test_decimal_precision_equals_scale():
+    """DECIMAL(p, p) has zero integer digits — the formatted leading '0'
+    must not shift the digit split (mydecimal.cc sizing parity)."""
+    for s, prec in (("0.1234", 4), ("0.9999", 4), ("0.000001", 6), ("0.5", 1)):
+        scale = prec
+        b = decimal_to_bin(Decimal(s), prec, scale)
+        assert len(b) == decimal_bin_size(prec, scale)
+        assert bin_to_decimal(b, prec, scale) == Decimal(s)
+        bn = decimal_to_bin(Decimal("-" + s), prec, scale)
+        assert bin_to_decimal(bn, prec, scale) == Decimal("-" + s)

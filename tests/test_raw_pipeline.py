@@ -84,3 +84,68 @@ def test_deadletter_demux(spark):
     assert decoded.count() == 1000 - n_dead
     # dead letters keep their addresses
     assert dead.select("file_seq", "log_pos").distinct().count() == n_dead
+
+
+def test_deadletter_reason_codes(spark):
+    """Each rejected frame carries the failed check's reason code
+    (ErrorPacket-errcode analog, /root/reference/packet.cc:16-30)."""
+    from pyspark.sql import functions as F
+
+    from binlogsub_spark.codec import split_deadletter
+
+    ev = generate_binlog(spark, GeneratorParams(n_events=1000, dup_tail=0))
+    raw = _raw(spark, ev)
+    m = F.col("log_pos") % 40
+    corrupted = raw.withColumn(
+        "payload",
+        F.when(m == 4, F.expr("substring(payload, 1, 10)"))  # short_frame
+        # op byte (offset 20, 1-based 21) -> 9: bad_enum
+        .when(m == 12, F.expr(
+            "concat(substring(payload, 1, 20), X'09', substring(payload, 22))"))
+        # version byte (offset 21, 1-based 22) -> 77: bad_version
+        .when(m == 20, F.expr(
+            "concat(substring(payload, 1, 21), X'4D', substring(payload, 23))"))
+        .when(m == 28, F.expr("concat(payload, X'00')"))  # len_mismatch
+        # first text byte -> lone continuation byte 0xBF: bad_utf8
+        .when(m == 36, F.expr(
+            "concat(substring(payload, 1, 55), X'BF', substring(payload, 57))"))
+        .otherwise(F.col("payload")),
+    )
+    valid, dead = split_deadletter(corrupted)
+    got = {r["_reason"]: r["n"] for r in dead.groupBy("_reason").agg(
+        F.count("*").alias("n")).collect()}
+    def n_at(k):
+        return corrupted.where((F.col("log_pos") % 40 == k)).count()
+    # m==20 rows shorter than 56 bytes keep a valid payload; count only
+    # frames long enough to have received the corrupt byte
+    n_utf8 = raw.where((m == 36) & (F.length("payload") >= 56)).count()
+    assert got.get("short_frame", 0) == n_at(4) > 0
+    assert got.get("bad_enum", 0) == n_at(12) > 0
+    assert got.get("bad_version", 0) == n_at(20) > 0
+    assert got.get("len_mismatch", 0) == n_at(28) > 0
+    assert got.get("bad_utf8", 0) == n_utf8 > 0
+    assert valid.count() + dead.count() == 1000
+
+
+def test_utf8_corruption_never_kills_decode(spark):
+    """A frame with intact framing but non-UTF-8 text bytes must route to
+    dead-letter, not abort the stream inside the typed decode."""
+    from pyspark.sql import functions as F
+
+    from binlogsub_spark.codec import decode_raw_events, split_deadletter
+
+    ev = generate_binlog(spark, GeneratorParams(n_events=500, dup_tail=0))
+    raw = _raw(spark, ev).where(F.length("payload") >= 60)
+    n = raw.count()
+    corrupted = raw.withColumn(
+        "payload",
+        F.when(
+            F.col("log_pos") % 5 == 0,
+            F.expr("concat(substring(payload, 1, 56), X'FE', substring(payload, 58))"),
+        ).otherwise(F.col("payload")),
+    )
+    n_bad = corrupted.where("log_pos % 5 = 0").count()
+    decoded = decode_raw_events(corrupted)  # must not raise
+    assert decoded.count() == n - n_bad
+    _, dead = split_deadletter(corrupted)
+    assert dead.where("_reason = 'bad_utf8'").count() == n_bad
