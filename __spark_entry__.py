@@ -157,21 +157,44 @@ def q_dedup_ngram_jaccard(spark, sf):
 
 
 def q_dedup_minhash_lsh(spark, sf):
+    """MinHash+LSH with the md5 hash family so the FULL pipeline —
+    shingle -> 64 min-hashes -> 16 band keys -> candidate join -> exact
+    Jaccard verify — is value-checked by the DuckDB oracle."""
     from binlogsub_spark.functions.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_t(spark, sf, "documents"), threshold=0.05)
+    return minhash_lsh_pairs(_t(spark, sf, "documents"), threshold=0.05, hash_fn="md5")
 
 
 def q_dedup_simhash(spark, sf):
+    """SimHash near-dup pairs with DERIVED banding (bands = max_hamming+1,
+    pigeonhole-sound) and the md5 hash family for full oracle coverage."""
     from binlogsub_spark.functions.dedup import simhash_pairs
 
-    return simhash_pairs(_t(spark, sf, "documents"), max_hamming=16)
+    out = simhash_pairs(_t(spark, sf, "documents"), max_hamming=3, hash_fn="md5")
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
 def q_dedup_embedding_cosine(spark, sf):
+    """Embedding near-dup detection on a corpus with INJECTED true
+    near-duplicates (vec_id+10^6 = deterministically perturbed copy,
+    cosine ≈ 0.9988): multi-table sign-LSH blocking + exact rescoring.
+    Recall vs. brute force is pytest-asserted (rows-only here: the LSH
+    candidate set is not ANSI-SQL-expressible)."""
     from binlogsub_spark.functions.similarity import embedding_near_dup
 
-    return embedding_near_dup(_t(spark, sf, "embeddings"), threshold=0.3, planes=4)
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    noise = F.transform(
+        F.col("embedding"),
+        lambda x, i: x + 0.05 * F.sin(F.col("vec_id") * 7 + i) / 8.0,
+    )
+    pert = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), noise.alias("embedding")
+    )
+    return embedding_near_dup(
+        emb.unionByName(pert), threshold=0.99, planes=16, tables=4
+    )
 
 
 def q_similarity_cosine_topk(spark, sf):
@@ -600,6 +623,86 @@ def oracle_sql() -> dict[str, str]:
               SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
               FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
               GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT id_a, id_b,
+                   round(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.05
+        """,
+        # md5-hash-family dedup oracles: the 60-bit hash is
+        # ('0x'||substr(md5(x),1,15))::BIGINT — bit-identical to Spark's
+        # conv(substring(md5(x),1,15),16,10) (parity pytest-asserted).
+        "dedup_simhash": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest(str_split({_NORM}, ' ')) AS tok FROM documents
+            ),
+            th AS (
+              SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok
+            ),
+            bits AS (
+              SELECT doc_id, b,
+                     sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+              FROM th CROSS JOIN (SELECT unnest(range(60)) AS b) bs
+              GROUP BY doc_id, b
+            ),
+            sig AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+              FROM bits GROUP BY doc_id
+            ),
+            bands AS (
+              SELECT doc_id, simhash, i AS band,
+                     (simhash >> CAST(i * 15 AS BIGINT)) & 32767 AS bh
+              FROM sig CROSS JOIN (SELECT unnest(range(4)) AS i) bi
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                              a.simhash AS sa, b.simhash AS sb
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+            FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+        """,
+        "dedup_minhash_lsh": f"""
+            WITH docs AS (
+              SELECT doc_id, str_split({_NORM}, ' ') AS words FROM documents
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
+              FROM docs, UNNEST(range(1, len(words) - 1)) AS t(i)
+              WHERE len(words) >= 3
+            ),
+            hh AS (
+              SELECT doc_id, shingle,
+                     ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h1,
+                     ('0x' || substr(md5(shingle || '#'), 1, 15))::BIGINT % 1000000007 AS h2
+              FROM sh
+            ),
+            mins AS (
+              SELECT doc_id, i, min((h1 + i * h2) % 2305843009213693951) AS m
+              FROM hh CROSS JOIN (SELECT unnest(range(64)) AS i) ii
+              GROUP BY doc_id, i
+            ),
+            bandkeys AS (
+              SELECT doc_id, i // 4 AS band,
+                     string_agg(m::VARCHAR, ',' ORDER BY i) AS bk
+              FROM mins GROUP BY doc_id, i // 4
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bandkeys a JOIN bandkeys b
+                ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT c.id_a, c.id_b, count(*) AS inter
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.id_a
+              JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+              GROUP BY c.id_a, c.id_b
             )
             SELECT id_a, id_b,
                    round(inter / (sa.sz + sb.sz - inter), 4) AS jaccard

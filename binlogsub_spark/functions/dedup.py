@@ -103,26 +103,63 @@ def jaccard_pairs(
             .where(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard")
         )
-        return out
+        # Materialize NOW (eager localCheckpoint): the pair set is tiny next
+        # to the shingle table, and computing it while `sh` is cached is the
+        # whole point — a lazy return would run after the unpersist below.
+        return out.localCheckpoint(eager=True)
     finally:
         sh.unpersist(blocking=False)
 
 
+# --------------------------------------------------------- portable hash
+# 2^61 - 1 (Mersenne): (h1 + i*h2) mod P stays exactly inside int64 in any
+# engine, so the md5-based hash family is reproducible by the SQL oracle.
+_MERSENNE61 = 2305843009213693951
+
+
+def _md5_hash60(col) -> "F.Column":
+    """First 60 bits of md5 as a non-negative bigint — identical in Spark
+    (conv) and DuckDB (('0x'||substr(md5,1,15))::BIGINT), the
+    oracle-portable alternative to xxhash64."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 # ---------------------------------------------------------- MinHash + LSH
 def minhash_signatures(
-    df: DataFrame,
+    df: DataFrame | None,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 64,
     n: int = 3,
+    hash_fn: str = "xxhash64",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sig: array<bigint>) — num_hashes independent min-hashes of the
-    shingle set, all via xxhash64(shingle, i) (JVM, no UDF)."""
-    sh = shingle_df(df, text_col, id_col, n)
-    mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
+    shingle set, all JVM-side (no UDF). ``hash_fn``:
+
+    * ``xxhash64`` (default, fastest): xxhash64(shingle, i) per hash.
+    * ``md5``: double hashing h_i = (h1 + i*h2) mod (2^61-1) over two
+      md5-derived 60-bit values (Kirsch-Mitzenmacher) — bit-reproducible
+      by the ANSI-SQL oracle.
+
+    Pass ``shingles`` to reuse an already-computed (and ideally persisted)
+    shingle_df instead of re-shingling the corpus.
+    """
+    sh = shingles if shingles is not None else shingle_df(df, text_col, id_col, n)
+    if hash_fn == "xxhash64":
+        mins = [
+            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    elif hash_fn == "md5":
+        h1 = _md5_hash60(F.col("shingle"))
+        h2 = _md5_hash60(F.concat(F.col("shingle"), F.lit("#"))) % F.lit(1_000_000_007)
+        mins = [
+            F.min((h1 + F.lit(i) * h2) % F.lit(_MERSENNE61)).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     agg = sh.groupBy(id_col).agg(*mins)
     return agg.select(
         id_col, F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
@@ -137,41 +174,58 @@ def minhash_lsh_pairs(
     bands: int = 16,
     n: int = 3,
     threshold: float = 0.5,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Banded-LSH candidate pairs, verified with exact Jaccard.
 
     bands=16 x rows=4 over 64 hashes -> S-curve threshold ~ (1/16)^(1/4)
-    ≈ 0.5. Candidates come from an equi-join on (band_idx, band_hash) —
-    shuffle keyed on band buckets, never a cross join.
+    ≈ 0.5. Candidates come from an equi-join on (band_idx, band_key) —
+    shuffle keyed on band buckets, never a cross join. The shingle set is
+    computed ONCE and persisted across the signature pass and the exact
+    verification pass (it is the most expensive intermediate).
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, n)
-    band = sig.select(
-        F.col(id_col),
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.xxhash64(*[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]).alias("bh"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bh")
-    a, b = band.alias("a"), band.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
-    )
-    # exact verification only on candidates
     sh = shingle_df(df, text_col, id_col, n).persist()
     try:
+        sig = minhash_signatures(
+            None, text_col, id_col, num_hashes, n, hash_fn=hash_fn, shingles=sh
+        )
+        if hash_fn == "md5":
+            # oracle-portable band key: the band's mins joined as a string
+            def _bk(b):
+                return F.concat_ws(
+                    ",",
+                    *[
+                        F.col("sig")[b * rows_per_band + r].cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
+        else:
+            def _bk(b):
+                return F.xxhash64(
+                    *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                ).cast("string")
+        band = sig.select(
+            F.col(id_col),
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(b).alias("band"), _bk(b).alias("bh"))
+                    for b in range(bands)
+                ])
+            ).alias("bb"),
+        ).select(id_col, "bb.band", "bb.bh")
+        a, b = band.alias("a"), band.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bh") == F.col("b.bh"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+            .distinct()
+        )
+        # exact verification only on candidates, reusing the SAME shingles
         sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
         inter = (
             cand.join(sh.withColumnsRenamed({id_col: "id_a", "shingle": "s"}), "id_a")
@@ -189,34 +243,60 @@ def minhash_lsh_pairs(
             .where(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard")
         )
-        return out
+        # eager: compute the (small) verified pair set while shingles are
+        # cached; a lazy return would recompute shingles 3x after unpersist
+        return out.localCheckpoint(eager=True)
     finally:
         sh.unpersist(blocking=False)
 
 
 # ----------------------------------------------------------------- SimHash
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, simhash: bigint) — 64-bit SimHash over token hashes, computed
-    with 64 conditional-sum aggregations (pure JVM bit arithmetic)."""
+def _simhash_nbits(hash_fn: str) -> int:
+    # xxhash64 bit 63 is the sign bit -> 63 usable; md5-derived -> 60 bits
+    return 63 if hash_fn == "xxhash64" else 60
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(id, simhash: bigint) — SimHash over token hashes, computed with one
+    conditional-sum aggregation per bit (pure JVM bit arithmetic).
+    ``hash_fn='md5'`` uses the oracle-portable 60-bit md5 hash."""
+    nbits = _simhash_nbits(hash_fn)
+    h = F.xxhash64("tok") if hash_fn == "xxhash64" else _md5_hash60(F.col("tok"))
     tok = df.select(
         F.col(id_col),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", h)
     bit_sums = [
         F.sum(
             F.when(
                 F.col("h").bitwiseAND(F.shiftleft(F.lit(1).cast("long"), b)) != 0, 1
             ).otherwise(-1)
         ).alias(f"b{b}")
-        for b in range(63)  # bit 63 is the sign bit; 63 bits suffice
+        for b in range(nbits)
     ]
     agg = tok.groupBy(id_col).agg(*bit_sums)
     sig = F.lit(0).cast("long")
-    for b in range(63):
+    for b in range(nbits):
         sig = sig + F.when(
             F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
         ).otherwise(F.lit(0).cast("long"))
     return agg.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_band_bounds(nbits: int, bands: int) -> list[tuple[int, int]]:
+    """Contiguous (offset, width) bit ranges splitting nbits into bands."""
+    base, rem = divmod(nbits, bands)
+    bounds, off = [], 0
+    for i in range(bands):
+        w = base + (1 if i < rem else 0)
+        bounds.append((off, w))
+        off += w
+    return bounds
 
 
 def simhash_pairs(
@@ -224,25 +304,44 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    bands: int | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) <= max_hamming via 4-band
-    blocking (pigeonhole: <=3 differing bits => at least one 16-bit band
-    identical), then exact popcount verification."""
-    sig = simhash(df, text_col, id_col)
-    bands = sig.select(
+    """Near-dup pairs with Hamming(simhash) <= max_hamming via banded
+    blocking, then exact popcount verification.
+
+    The band count is DERIVED from max_hamming (pigeonhole: with
+    bands > max_hamming equal-split bands, any pair within max_hamming
+    bits must agree on at least one full band) — recall is guaranteed by
+    construction; a caller-supplied ``bands <= max_hamming`` is rejected
+    because it would silently drop true pairs."""
+    bands = bands if bands is not None else max_hamming + 1
+    nbits = _simhash_nbits(hash_fn)
+    if bands <= max_hamming:
+        raise ValueError(
+            f"bands={bands} <= max_hamming={max_hamming}: pigeonhole blocking "
+            "would silently miss true pairs (need bands > max_hamming)"
+        )
+    if bands > nbits:
+        raise ValueError(f"bands={bands} > signature bits={nbits}")
+    sig = simhash(df, text_col, id_col, hash_fn=hash_fn)
+    bounds = simhash_band_bounds(nbits, bands)
+    band_df = sig.select(
         F.col(id_col),
         F.col("simhash"),
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(i).alias("band"),
-                    F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("bh"),
+                    F.shiftrightunsigned(F.col("simhash"), off)
+                    .bitwiseAND(F.lit((1 << w) - 1))
+                    .alias("bh"),
                 )
-                for i in range(4)
+                for i, (off, w) in enumerate(bounds)
             ])
         ).alias("bb"),
     ).select(id_col, "simhash", "bb.band", "bb.bh")
-    a, b = bands.alias("a"), bands.alias("b")
+    a, b = band_df.alias("a"), band_df.alias("b")
     cand = (
         a.join(
             b,

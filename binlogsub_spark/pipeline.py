@@ -99,23 +99,35 @@ def apply_batch(
     the merge by writing them into the same snapshot manifest)."""
     cfg = cfg or EngineConfig()
 
-    # One small column-pruned job: per-file_seq offset frontier + counts
-    # (this IS the per-partition lineage of the north rule; the scan reads
-    # only (file_seq, log_pos) thanks to parquet column pruning).
-    per_file = (
-        events.groupBy("file_seq")
-        .agg(F.max("log_pos").alias("max_log_pos"), F.count("*").alias("events"))
-        .collect()
-    )
-    total = sum(r["events"] for r in per_file)
-    watermark = None
-    if per_file:
-        top = max(per_file, key=lambda r: (r["file_seq"], r["max_log_pos"]))
-        watermark = {"file_seq": top["file_seq"], "log_pos": top["max_log_pos"]}
+    # Cache the micro-batch so the source is scanned ONCE: the per-file_seq
+    # lineage job materializes the cache, the merge job reads it back. A
+    # micro-batch is bounded (maxFilesPerTrigger), so MEMORY_AND_DISK is
+    # safe at any scale — vs. the alternative of re-scanning the source
+    # (a doubled 100 TB read per batch).
+    from pyspark import StorageLevel
 
-    upserts = prepare_upserts(events, cfg)
-    partials = partial_lww_reduce(upserts, salt=cfg.skew_salt)
-    res = table.merge(partials, batch_id=batch_id, watermark=watermark, pre_reduced=True)
+    events.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        # per-file_seq offset frontier + counts (the per-partition lineage
+        # of the north rule).
+        per_file = (
+            events.groupBy("file_seq")
+            .agg(F.max("log_pos").alias("max_log_pos"), F.count("*").alias("events"))
+            .collect()
+        )
+        total = sum(r["events"] for r in per_file)
+        watermark = None
+        if per_file:
+            top = max(per_file, key=lambda r: (r["file_seq"], r["max_log_pos"]))
+            watermark = {"file_seq": top["file_seq"], "log_pos": top["max_log_pos"]}
+
+        upserts = prepare_upserts(events, cfg)
+        partials = partial_lww_reduce(upserts, salt=cfg.skew_salt)
+        res = table.merge(
+            partials, batch_id=batch_id, watermark=watermark, pre_reduced=True
+        )
+    finally:
+        events.unpersist(blocking=False)
     applied = res["applied"]
     if (
         cfg.compact_every
@@ -233,23 +245,34 @@ def apply_raw_batch(
     salted partial LWW -> MERGE. The per-partition lineage stats come from
     the framed header columns (file_seq/log_pos), which the source carries
     OUTSIDE the payload — so the stats job never pays the decode."""
+    from pyspark import StorageLevel
+
     from binlogsub_spark.codec import decode_raw_events
 
     cfg = cfg or EngineConfig()
-    per_file = (
-        raw_events.groupBy("file_seq")
-        .agg(F.max("log_pos").alias("max_log_pos"), F.count("*").alias("events"))
-        .collect()
-    )
-    total = sum(r["events"] for r in per_file)
-    watermark = None
-    if per_file:
-        top = max(per_file, key=lambda r: (r["file_seq"], r["max_log_pos"]))
-        watermark = {"file_seq": top["file_seq"], "log_pos": top["max_log_pos"]}
+    # One source scan per micro-batch: the lineage job materializes the
+    # cache (payload bytes included — the merge job's decode reads them
+    # back from cache instead of re-reading the source).
+    raw_events.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        per_file = (
+            raw_events.groupBy("file_seq")
+            .agg(F.max("log_pos").alias("max_log_pos"), F.count("*").alias("events"))
+            .collect()
+        )
+        total = sum(r["events"] for r in per_file)
+        watermark = None
+        if per_file:
+            top = max(per_file, key=lambda r: (r["file_seq"], r["max_log_pos"]))
+            watermark = {"file_seq": top["file_seq"], "log_pos": top["max_log_pos"]}
 
-    decoded = decode_raw_events(raw_events)
-    partials = partial_lww_reduce(flat_to_upserts(decoded, cfg), salt=cfg.skew_salt)
-    res = table.merge(partials, batch_id=batch_id, watermark=watermark, pre_reduced=True)
+        decoded = decode_raw_events(raw_events)
+        partials = partial_lww_reduce(flat_to_upserts(decoded, cfg), salt=cfg.skew_salt)
+        res = table.merge(
+            partials, batch_id=batch_id, watermark=watermark, pre_reduced=True
+        )
+    finally:
+        raw_events.unpersist(blocking=False)
     applied = res["applied"]
     if (
         cfg.compact_every

@@ -148,3 +148,79 @@ def test_ivf_topk_recall(spark):
     )
     assert len(approx) == 10
     assert hits >= len(approx) * 0.5
+
+
+def test_simhash_pigeonhole_recall(spark):
+    """A constructed pair at hamming ~10 must be found when
+    max_hamming=10 (bands derived = 11) — the exact case the old fixed
+    4-band blocking silently missed — and bands <= max_hamming must be
+    rejected loudly."""
+    import pytest
+
+    from binlogsub_spark.functions.dedup import simhash, simhash_pairs
+
+    base = " ".join(f"w{i}" for i in range(60))
+    variant = " ".join(f"w{i}" if i % 6 else f"x{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, base), (2, variant), (3, "completely different content here")],
+        ["doc_id", "text"],
+    )
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    ham = bin(sigs[1] ^ sigs[2]).count("1")
+    assert 4 <= ham <= 20, f"fixture hamming drifted: {ham}"
+    pairs = simhash_pairs(docs, max_hamming=ham).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} >= {(1, 2)}
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_pairs(docs, max_hamming=10, bands=4)
+
+
+def test_simhash_md5_matches_xxhash_semantics(spark):
+    """Both hash families agree on exact-duplicate (hamming 0) pairs."""
+    from binlogsub_spark.functions.dedup import simhash_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "  Alpha   beta GAMMA "), (3, "other text")],
+        ["doc_id", "text"],
+    )
+    for fn in ("xxhash64", "md5"):
+        got = {(r["id_a"], r["id_b"], r["hamming"])
+               for r in simhash_pairs(docs, max_hamming=0, hash_fn=fn).collect()}
+        assert got == {(1, 2, 0)}, (fn, got)
+
+
+def test_minhash_md5_equals_xxhash_results(spark):
+    """The md5 (oracle-portable) hash family finds the same verified pairs
+    as xxhash64 — verification is exact Jaccard either way."""
+    from binlogsub_spark.functions.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {(r["id_a"], r["id_b"], r["jaccard"])
+         for r in minhash_lsh_pairs(docs, threshold=0.05).collect()}
+    b = {(r["id_a"], r["id_b"], r["jaccard"])
+         for r in minhash_lsh_pairs(docs, threshold=0.05, hash_fn="md5").collect()}
+    # candidate sets may differ slightly (different LSH families); verified
+    # high-jaccard pairs must agree on the overlap of both candidate sets
+    assert a and b
+    assert len(a & b) / max(len(a | b), 1) > 0.8
+
+
+def test_embedding_near_dup_multi_table_recall(spark):
+    """Inject true near-duplicates (perturbed copies, cosine ≈ 0.999):
+    multi-table LSH (4 x 16 planes) must recover ≥ 95% of them, and every
+    reported pair must genuinely clear the threshold (no false positives —
+    exact rescoring guarantees precision)."""
+    from binlogsub_spark.functions.similarity import embedding_near_dup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    noise = F.transform(
+        F.col("embedding"), lambda x, i: x + 0.05 * F.sin(F.col("vec_id") * 7 + i) / 8.0
+    )
+    pert = emb.select((F.col("vec_id") + 1000000).alias("vec_id"), noise.alias("embedding"))
+    n = emb.count()
+    got = embedding_near_dup(emb.unionByName(pert), threshold=0.99).collect()
+    planted = {(r["id_a"], r["id_b"]) for r in got if r["id_b"] == r["id_a"] + 1000000}
+    recall = len(planted) / n
+    assert recall >= 0.95, f"recall {recall} of {n} planted near-dups"
+    assert all(r["cosine"] >= 0.99 for r in got)
