@@ -351,7 +351,11 @@ def q_multimodal_decode_features(spark, sf):
     )
     feats = decode_media(attach_media(d, "doc_id", "payload"))
     return feats.select(
-        "media_id", "n_bytes", "sha256", "width", "height",
+        "media_id",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        "sha256",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
         F.round(F.element_at("feature", 1).cast("double"), 4).alias("f0"),
     )
 
@@ -428,68 +432,151 @@ def q_cdc_mysql_row_decode(spark, sf):
 
 
 # --------------------------------------------------------------- engine e2e
+def _events_as_flat_changes(spark, sf):
+    """Deterministic change-record stream DERIVED from the driver's events
+    table (so DuckDB can mirror the derivation and every engine stage below
+    gets a full value oracle). Shapes: op from event_type, position from
+    event_id, schema epoch 1 for event_id%5==0 (those frames predate the
+    `tool` column), transcripts image from (user_id, event_id, ts)."""
+    ev = _t(spark, sf, "events")
+    op = (
+        F.when(F.col("event_type") == "purchase", F.lit("U"))
+        .when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("I"))
+    )
+    sv = F.when(F.col("event_id") % 5 == 0, F.lit(1)).otherwise(F.lit(2))
+    role = F.element_at(
+        F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
+        (F.col("event_id") % 3 + 1).cast("int"),
+    )
+    conv = F.concat(F.lit("c"), F.col("user_id").cast("string"))
+    turn = (F.col("event_id") % 50).cast("int")
+    text = F.concat(
+        F.lit("m|"), conv, F.lit("|t"), turn.cast("string"),
+        F.lit("|e"), F.col("event_id").cast("string"),
+    )
+    tool = F.when(
+        (sv >= 2) & (role == "tool"),
+        F.concat(F.lit("tool_"), (F.col("event_id") % 5).cast("string")),
+    ).otherwise(F.lit(None).cast("string"))
+    return ev.select(
+        (F.col("event_id") / 4096).cast("int").alias("file_seq"),
+        (F.lit(4) + (F.col("event_id") % 4096) * 128).cast("long").alias("log_pos"),
+        F.col("ts").alias("server_ts"),
+        op.alias("op"),
+        F.lit("test").alias("db_name"),
+        F.lit("transcripts").alias("table_name"),
+        sv.cast("int").alias("schema_version"),
+        conv.alias("conv_id"),
+        turn.alias("turn_idx"),
+        role.alias("role"),
+        text.alias("text"),
+        tool.alias("tool"),
+        F.col("ts").alias("ts"),
+    )
+
+
+# SQL twin of _events_as_flat_changes (DuckDB), kept adjacent so drift is
+# visible in review.
+_FLAT_CHANGES_SQL = """
+    SELECT CAST(event_id // 4096 AS INT) AS file_seq,
+           4 + (event_id % 4096) * 128 AS log_pos,
+           ts AS server_ts,
+           CASE WHEN event_type = 'purchase' THEN 'U'
+                WHEN event_type = 'error' THEN 'D' ELSE 'I' END AS op,
+           'test' AS db_name, 'transcripts' AS table_name,
+           CASE WHEN event_id % 5 = 0 THEN 1 ELSE 2 END AS schema_version,
+           'c' || CAST(user_id AS VARCHAR) AS conv_id,
+           event_id % 50 AS turn_idx,
+           ['user','assistant','tool'][CAST(event_id % 3 AS INT) + 1] AS role,
+           'm|c' || CAST(user_id AS VARCHAR) || '|t' || CAST(event_id % 50 AS VARCHAR)
+               || '|e' || CAST(event_id AS VARCHAR) AS text,
+           CASE WHEN event_id % 5 <> 0 AND event_id % 3 = 2
+                THEN 'tool_' || CAST(event_id % 5 AS VARCHAR) END AS tool,
+           ts
+    FROM events
+"""
+
+
 def q_cdc_pipeline_e2e(spark, sf):
-    """The full engine, end to end (rows-only check; the pandas + DuckDB
-    oracles assert equality in tests/ and .claude/skills/verify): generate
-    a deterministic binlog, MERGE-apply it, return the final transcripts
-    state."""
+    """The full engine end to end, value-checked by DuckDB: change records
+    derived from the events table are MERGE-applied (scope filter -> salted
+    LWW -> COW MERGE incl. tombstones) into a fresh lake table; the oracle
+    replays the same LWW independently. A re-delivered suffix (event_id%13
+    == 0, identical positions) exercises duplicate collapse."""
     from binlogsub_spark.config import EngineConfig
     from binlogsub_spark.lake.table import LakeTable
     from binlogsub_spark.pipeline import apply_batch
-    from binlogsub_spark.sources.generator import GeneratorParams, generate_binlog
 
-    params = GeneratorParams(n_events=5000, n_convs=80, dup_tail=200)
-    events = generate_binlog(spark, params)
+    flat = _events_as_flat_changes(spark, sf)
+    img = F.struct("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    before = F.struct(
+        "conv_id", "turn_idx", "role",
+        F.concat(F.lit("prev|"), F.col("text")).alias("text"),
+        F.lit(None).cast("string").alias("tool"), F.col("ts").alias("ts"),
+    )
+    envelope = flat.select(
+        "file_seq", "log_pos", "server_ts", "op", "db_name", "table_name",
+        "schema_version",
+        F.when(F.col("op") != "I", before).alias("before"),
+        F.when(F.col("op") != "D", img).alias("after"),
+    )
+    envelope = envelope.unionByName(envelope.where(F.col("log_pos") % 13 == 0))
     tmp = tempfile.mkdtemp(prefix="binlogsub_e2e_")
     table = LakeTable(spark, os.path.join(tmp, "tbl"), buckets=16)
-    apply_batch(table, events, batch_id=1, cfg=EngineConfig())
-    return table.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    apply_batch(table, envelope, batch_id=1, cfg=EngineConfig())
+    return table.read().select(
+        "conv_id", F.col("turn_idx").cast("long").alias("turn_idx"),
+        "role", "text", "tool", "ts",
+    )
 
 
 def q_cdc_raw_decode(spark, sf):
-    """Arrow byte-decode kernels (§2.6): encode the generated events to the
-    binary wire format, decode via mapInPandas, return typed records
-    (rows-only; round-trip equality is pytest-asserted)."""
+    """Arrow byte-decode kernels (§2.6), now with a full DuckDB oracle:
+    events-table-derived records are packed into the binary wire format
+    and decoded back zero-copy; the oracle is the identity derivation —
+    decode(encode(x)) == x checked value-by-value."""
     from binlogsub_spark.codec import decode_raw_events, encode_decoded_events
-    from binlogsub_spark.sources.generator import GeneratorParams, generate_binlog
 
-    ev = generate_binlog(spark, GeneratorParams(n_events=3000, dup_tail=0))
-    img = F.when(F.col("op") == "D", F.col("before")).otherwise(F.col("after"))
-    flat = ev.select(
-        "file_seq", "log_pos", "server_ts", "op", "db_name", "table_name",
-        "schema_version",
-        img["conv_id"].alias("conv_id"),
-        img["turn_idx"].alias("turn_idx"),
-        img["role"].alias("role"),
-        img["text"].alias("text"),
-        F.when(F.col("op") == "D", F.lit(None).cast("string")).otherwise(img["tool"]).alias("tool"),
-        img["ts"].alias("ts"),
+    flat = _events_as_flat_changes(spark, sf)
+    decoded = decode_raw_events(encode_decoded_events(flat))
+    return decoded.select(
+        F.col("file_seq").cast("long").alias("file_seq"), "log_pos", "server_ts",
+        "op", "db_name", "table_name",
+        F.col("schema_version").cast("long").alias("schema_version"),
+        "conv_id", F.col("turn_idx").cast("long").alias("turn_idx"),
+        "role", "text", "tool", "ts",
     )
-    return decode_raw_events(encode_decoded_events(flat))
 
 
 def q_cdc_deadletter_demux(spark, sf):
-    """S5 error/OK demux (rows-only): corrupt ~20% of wire payloads, route
-    them to the dead-letter branch, return per-branch accounting."""
+    """S5 error/OK demux with reason codes, DuckDB-oracled: deterministic
+    corruptions (truncation -> short_frame, op byte 9 -> bad_enum) route to
+    the dead-letter branch; the oracle recomputes the per-(branch, reason)
+    accounting from the same derivation."""
     from binlogsub_spark.codec import encode_decoded_events, split_deadletter
-    from binlogsub_spark.sources.generator import (
-        GeneratorParams,
-        flatten_for_wire,
-        generate_binlog,
-    )
 
-    ev = generate_binlog(spark, GeneratorParams(n_events=2000, dup_tail=0))
-    raw = encode_decoded_events(flatten_for_wire(ev).drop("delivery_seq"))
+    raw = encode_decoded_events(_events_as_flat_changes(spark, sf))
     corrupted = raw.withColumn(
         "payload",
-        F.when(F.col("log_pos") % 10 == 4, F.expr("substring(payload, 1, 20)"))
+        F.when(F.col("log_pos") % 40 == 4, F.expr("substring(payload, 1, 20)"))
+        .when(
+            F.col("log_pos") % 40 == 12,
+            F.expr("concat(substring(payload, 1, 20), X'09', substring(payload, 22))"),
+        )
         .otherwise(F.col("payload")),
     )
     valid, dead = split_deadletter(corrupted)
     return (
-        valid.select(F.lit("valid").alias("branch"), "file_seq", "log_pos")
-        .unionByName(dead.select(F.lit("dead_letter").alias("branch"), "file_seq", "log_pos"))
-        .groupBy("branch")
+        valid.select(F.lit("valid").alias("branch"), F.lit("ok").alias("reason"), "log_pos")
+        .unionByName(
+            dead.select(
+                F.lit("dead_letter").alias("branch"),
+                F.col("_reason").alias("reason"),
+                "log_pos",
+            )
+        )
+        .groupBy("branch", "reason")
         .agg(F.count("*").alias("n"), F.max("log_pos").alias("max_log_pos"))
     )
 
@@ -588,6 +675,39 @@ def oracle_sql() -> dict[str, str]:
                    max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
                    CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
             FROM events GROUP BY event_type
+        """,
+        "cdc_raw_decode": f"""
+            SELECT CAST(file_seq AS BIGINT) AS file_seq, log_pos, server_ts, op,
+                   db_name, table_name,
+                   CAST(schema_version AS BIGINT) AS schema_version,
+                   conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+                   role, text, tool, ts
+            FROM ({_FLAT_CHANGES_SQL})
+        """,
+        "cdc_pipeline_e2e": f"""
+            WITH flat AS ({_FLAT_CHANGES_SQL}),
+            w AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY conv_id, turn_idx
+                ORDER BY ts DESC, file_seq DESC, log_pos DESC) AS rn
+              FROM flat
+            )
+            SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+                   role, text, tool, ts
+            FROM w WHERE rn = 1 AND op <> 'D'
+        """,
+        "cdc_deadletter_demux": f"""
+            WITH flat AS ({_FLAT_CHANGES_SQL}),
+            b AS (
+              SELECT log_pos,
+                     CASE WHEN log_pos % 40 = 4 THEN 'short_frame'
+                          WHEN log_pos % 40 = 12 THEN 'bad_enum'
+                          ELSE 'ok' END AS reason
+              FROM flat
+            )
+            SELECT CASE WHEN reason = 'ok' THEN 'valid' ELSE 'dead_letter' END AS branch,
+                   reason, count(*) AS n, max(log_pos) AS max_log_pos
+            FROM b GROUP BY 1, 2
         """,
         "cdc_mysql_row_decode": """
             SELECT 'I' AS op, event_id AS id, user_id, event_type AS etype,
@@ -726,6 +846,25 @@ def oracle_sql() -> dict[str, str]:
                   PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
               FROM s) WHERE rank <= 5
         """,
+        # exact brute force in both engines: the Arrow path normalizes then
+        # matmuls in float64; ranking ties are broken by vec_id, and the
+        # 4-decimal rounding makes the remaining last-ulp differences
+        # invisible (empirically bit-stable at the driver's sf).
+        "similarity_ann_arrow_topk": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+            s AS (
+              SELECT q.query_id, e.vec_id,
+                     list_dot_product(q.qv, e.v)
+                       / (sqrt(list_dot_product(q.qv, q.qv))
+                          * sqrt(list_dot_product(e.v, e.v))) AS cos
+              FROM q JOIN e ON e.vec_id <> q.query_id
+            )
+            SELECT query_id, vec_id, round(cos, 4) AS cosine, rank FROM (
+              SELECT *, row_number() OVER (
+                  PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+              FROM s) WHERE rank <= 5
+        """,
         "similarity_embedding_pairs": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
             a AS (SELECT vec_id AS id_a, v AS va FROM e WHERE vec_id % 10 = 0)
@@ -786,6 +925,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_fingerprint": f"""
             SELECT doc_id, md5({_NORM}) AS fp FROM documents
+        """,
+        # the stub codec derives (width, height, feature) deterministically
+        # from the sha256 digest bytes — so even the "decode" is oracle-able:
+        # digest byte i lives at hex chars (2i+1, 2i+2); f0 is the float32
+        # mean of digest bytes {0, 8, 16, 24} / 255.
+        "multimodal_decode_features": """
+            WITH d AS (
+              SELECT doc_id AS media_id,
+                     octet_length(encode(text)) AS n_bytes,
+                     sha256(text) AS sha
+              FROM documents
+            )
+            SELECT media_id, n_bytes, sha AS sha256,
+                   64 + ('0x' || substr(sha, 1, 2))::BIGINT % 192 AS width,
+                   64 + ('0x' || substr(sha, 3, 2))::BIGINT % 192 AS height,
+                   round(CAST(
+                     ((('0x' || substr(sha, 1, 2))::BIGINT
+                       + ('0x' || substr(sha, 17, 2))::BIGINT
+                       + ('0x' || substr(sha, 33, 2))::BIGINT
+                       + ('0x' || substr(sha, 49, 2))::BIGINT) / 4.0) / 255.0
+                     AS FLOAT)::DOUBLE, 4) AS f0
+            FROM d
         """,
         "multimodal_metadata": """
             SELECT doc_id AS media_id, 'image' AS kind, 'image/stub' AS mime,
