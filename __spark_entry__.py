@@ -396,6 +396,25 @@ def _mysql_events_tmap():
     )
 
 
+def _mysql_flat_events(spark, sf):
+    """Typed rows (matching _mysql_events_tmap's column layout) derived
+    from the events table — the input to the MySQL-format fixture encoder
+    (shared by the driver query and bench.py)."""
+    ev = _t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select(
+        F.col("event_id").alias("id"),
+        "user_id",
+        F.array_position(
+            F.array(*[F.lit(s) for s in _ETYPE_ENUM]), F.col("event_type")
+        ).cast("long").alias("etype"),
+        F.round("value", 4).alias("score"),
+        "ts",
+        F.when(k % 7 == 0, F.lit(None).cast("long")).otherwise(k % 100).alias("k"),
+        "props",
+    )
+
+
 def q_cdc_mysql_row_decode(spark, sf):
     """The reference's core competency made real (event.cc:104-221 table
     map, 246-342 rows events + bitmaps, 413-809 ParseColumnValue): events
@@ -410,20 +429,7 @@ def q_cdc_mysql_row_decode(spark, sf):
     )
 
     tmap = _mysql_events_tmap()
-    ev = _t(spark, sf, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
-    flat = ev.select(
-        F.col("event_id").alias("id"),
-        "user_id",
-        F.array_position(
-            F.array(*[F.lit(s) for s in _ETYPE_ENUM]), F.col("event_type")
-        ).cast("long").alias("etype"),
-        F.round("value", 4).alias("score"),
-        "ts",
-        F.when(k % 7 == 0, F.lit(None).cast("long")).otherwise(k % 100).alias("k"),
-        "props",
-    )
-    raw = encode_rows_df(flat, tmap, rows_per_event=4, checksum=True)
+    raw = encode_rows_df(_mysql_flat_events(spark, sf), tmap, rows_per_event=4, checksum=True)
     registry = extract_table_maps(raw, checksum=True)
     decoded = decode_mysql_events(
         raw, registry, column_overrides={7: tmap.columns}, checksum=True

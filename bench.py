@@ -125,11 +125,42 @@ def run_bench(sf_dir: str, cpus: int, ingest_events: int | None = None) -> dict:
         )
         raw = spark.read.parquet(raw_src)
         raw.count()
-        raw_table = LakeTable(spark, os.path.join(tmp, "rawtbl"), buckets=max(cpus, 16))
-        t0 = time.time()
-        apply_raw_batch(raw_table, raw, batch_id=1, cfg=EngineConfig())
-        raw_sec = time.time() - t0
+        raw_sec = None
+        for rep in range(2):  # best-of-2, fresh table each (same as structured)
+            raw_table = LakeTable(
+                spark, os.path.join(tmp, f"rawtbl{rep}"), buckets=max(cpus, 16)
+            )
+            t0 = time.time()
+            apply_raw_batch(raw_table, raw, batch_id=1, cfg=EngineConfig())
+            dt = time.time() - t0
+            raw_sec = dt if raw_sec is None else min(raw_sec, dt)
         timings["cdc_ingest_raw_decode"] = round(raw_sec, 3)
+
+        # genuine MySQL-format row-event decode (vectorized wave kernel):
+        # frames materialized OUTSIDE the timed section (fixture encode is
+        # per-row Python by design); timed = table-map registry extraction
+        # + broadcast + wave decode of every row image.
+        from binlogsub_spark.mysql_binlog import (
+            decode_mysql_events,
+            encode_rows_df,
+            extract_table_maps,
+        )
+
+        tmap = entry._mysql_events_tmap()
+        mysql_src = os.path.join(tmp, "mysqllog")
+        encode_rows_df(
+            entry._mysql_flat_events(spark, sf_dir), tmap, rows_per_event=4,
+            checksum=True,
+        ).write.mode("overwrite").parquet(mysql_src)
+        mframes = spark.read.parquet(mysql_src)
+        mframes.count()
+        t0 = time.time()
+        registry = extract_table_maps(mframes, checksum=True)
+        mysql_rows = decode_mysql_events(
+            mframes, registry, column_overrides={7: tmap.columns}, checksum=True
+        ).count()
+        mysql_sec = time.time() - t0
+        timings["cdc_mysql_row_decode"] = round(mysql_sec, 3)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -165,6 +196,7 @@ def run_bench(sf_dir: str, cpus: int, ingest_events: int | None = None) -> dict:
         "ingest_events": total_events,
         "events_per_sec_applied": round(total_events / ingest_sec, 1),
         "raw_decode_events_per_sec": round(raw_events_n / raw_sec, 1),
+        "mysql_row_decode_rows_per_sec": round(mysql_rows / mysql_sec, 1),
     }
 
 

@@ -23,10 +23,23 @@ from pyspark.sql import DataFrame, functions as F
 from binlogsub_spark.functions.text import fingerprint, normalize_text
 
 
+def _rebalance(df: DataFrame) -> DataFrame:
+    """Spread a low-partition input across the cluster before expression-
+    heavy stages (shingling/hashing): a corpus that arrives as one small
+    parquet file would otherwise run EVERY per-row expression on one core.
+    At real scale input splits >> cores, the condition is false, and no
+    shuffle is added."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(target // 2, 2):
+        return df.repartition(target)
+    return df
+
+
 # ------------------------------------------------------------------ exact
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One row per document: its fingerprint, the keeper (min id in its
     group), and whether it is a duplicate of the keeper."""
+    df = _rebalance(df)
     fp = df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
     keepers = fp.groupBy("fp").agg(
         F.min(id_col).alias("keeper_id"), F.count("*").alias("group_size")
@@ -44,6 +57,7 @@ def shingle_df(
 ) -> DataFrame:
     """Distinct word n-gram shingles per doc: (id, shingle). JVM-side only
     (split + transform + explode)."""
+    df = _rebalance(df)
     toks = F.split(normalize_text(F.col(text_col)), " ")
     shingles = F.when(
         F.size(toks) >= n,
@@ -74,6 +88,8 @@ def jaccard_pairs(
     """
     sh = shingle_df(df, text_col, id_col, n).persist()
     try:
+        sh.count()  # materialize: downstream subtrees must HIT the cache,
+        # not race to compute the shingle explode 3x within one job
         sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
         rare = (
             sh.groupBy("shingle")
@@ -152,10 +168,21 @@ def minhash_signatures(
             for i in range(num_hashes)
         ]
     elif hash_fn == "md5":
-        h1 = _md5_hash60(F.col("shingle"))
-        h2 = _md5_hash60(F.concat(F.col("shingle"), F.lit("#"))) % F.lit(1_000_000_007)
+        # materialize the two base hashes as COLUMNS before aggregating —
+        # each of the num_hashes min() expressions would otherwise
+        # recompute both md5s per row (no CSE across aggregate exprs)
+        sh = sh.select(
+            id_col,
+            _md5_hash60(F.col("shingle")).alias("_h1"),
+            (
+                _md5_hash60(F.concat(F.col("shingle"), F.lit("#")))
+                % F.lit(1_000_000_007)
+            ).alias("_h2"),
+        )
         mins = [
-            F.min((h1 + F.lit(i) * h2) % F.lit(_MERSENNE61)).alias(f"h{i}")
+            F.min((F.col("_h1") + F.lit(i) * F.col("_h2")) % F.lit(_MERSENNE61)).alias(
+                f"h{i}"
+            )
             for i in range(num_hashes)
         ]
     else:
@@ -187,6 +214,7 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     sh = shingle_df(df, text_col, id_col, n).persist()
     try:
+        sh.count()  # materialize the cache before the multi-reference job
         sig = minhash_signatures(
             None, text_col, id_col, num_hashes, n, hash_fn=hash_fn, shingles=sh
         )
@@ -267,6 +295,7 @@ def simhash(
     ``hash_fn='md5'`` uses the oracle-portable 60-bit md5 hash."""
     nbits = _simhash_nbits(hash_fn)
     h = F.xxhash64("tok") if hash_fn == "xxhash64" else _md5_hash60(F.col("tok"))
+    df = _rebalance(df)
     tok = df.select(
         F.col(id_col),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),

@@ -328,6 +328,49 @@ def encode_format_description(checksum: bool = False, **kw) -> bytes:
     return _finish_event(FORMAT_DESCRIPTION_EVENT, body, checksum=checksum, **kw)
 
 
+# ----------------------------------------------------- protocol packets --
+def encode_error_packet(errcode: int, sqlstate: str, message: str) -> bytes:
+    """MySQL wire ERR packet: 0xff + errcode u16 LE + '#' + 5-char
+    sqlstate + message (parity: /root/reference/packet.cc:16-30)."""
+    return (
+        b"\xff"
+        + errcode.to_bytes(2, "little")
+        + b"#"
+        + sqlstate.encode()[:5].ljust(5, b"0")
+        + message.encode()
+    )
+
+
+def parse_error_packet(payload: bytes) -> dict:
+    """Decode the server's ERR packet so a dead-lettered/aborted dump
+    session is explainable (the reference logs errcode+message then
+    aborts; we surface the same fields as data)."""
+    if not payload or payload[0] != 0xFF:
+        raise ValueError("not an ERR packet (leading byte != 0xff)")
+    errcode = int.from_bytes(payload[1:3], "little")
+    pos, sqlstate = 3, None
+    if len(payload) > 3 and payload[3:4] == b"#":
+        sqlstate = payload[4:9].decode(errors="replace")
+        pos = 9
+    return {
+        "errcode": errcode,
+        "sqlstate": sqlstate,
+        "message": payload[pos:].decode(errors="replace"),
+    }
+
+
+def parse_rotate(frame: bytes, checksum: bool = False) -> tuple[str, int]:
+    """ROTATE_EVENT -> (next_file, next_pos): the control event that
+    advances the file frontier (the reference folds this into its position
+    context, /root/reference/packet.cc:120-139; the Spark source model
+    carries file_seq as a framing column, so rotate handling is the
+    SOURCE's job — this parser exists for a source implementation and for
+    parity tests)."""
+    body = frame[HEADER_LEN : len(frame) - (4 if checksum else 0)]
+    pos = int.from_bytes(body[0:8], "little")
+    return body[8:].decode(), pos
+
+
 # ------------------------------------------------------------- parsing --
 def parse_event_header(frame: bytes) -> dict:
     vals = struct.unpack_from("<IBIIIH", frame, 0)
@@ -628,6 +671,10 @@ def decode_rows_frames(
         # the overwhelmingly common production setting)
         if not (pres1 == pres1[0]).all():
             raise ValueError("non-uniform columns-present bitmap in group")
+        if is_update.any() and not (pres2[is_update] == pres1[is_update]).all():
+            # MINIMAL/NOBLOB images shape before/after differently; decoding
+            # them as FULL would silently misalign every later column
+            raise ValueError("after-image bitmap differs (binlog_row_image != FULL?)")
         present_cols = [i for i in range(width) if pres1[0, i]]
     else:
         present_cols = list(range(width))
@@ -809,6 +856,29 @@ MYSQL_RAW_SCHEMA = T.StructType(
         T.StructField("payload", T.BinaryType(), False),
     ]
 )
+
+
+def demux_event_types(raw_df: DataFrame) -> DataFrame:
+    """P1 over genuine frames: per-event-type accounting (rows vs control
+    events) straight off the type byte at header offset 4 — a JVM substring
+    expression, so the demux never ships payloads to Python
+    (/root/reference/packet.cc:70-109's switch, as one groupBy)."""
+    code = F.ascii(F.expr("substring(payload, 5, 1)"))
+    name = (
+        F.when(code == QUERY_EVENT, "query")
+        .when(code == ROTATE_EVENT, "rotate")
+        .when(code == FORMAT_DESCRIPTION_EVENT, "format_description")
+        .when(code == XID_EVENT, "xid")
+        .when(code == TABLE_MAP_EVENT, "table_map")
+        .when(code == WRITE_ROWS_EVENT_V2, "write_rows")
+        .when(code == UPDATE_ROWS_EVENT_V2, "update_rows")
+        .when(code == DELETE_ROWS_EVENT_V2, "delete_rows")
+        .otherwise("other")
+    )
+    return raw_df.groupBy(name.alias("event_type")).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.octet_length("payload")).alias("n_bytes"),
+    )
 
 
 def extract_table_maps(raw_df: DataFrame, checksum: bool = False) -> dict[int, TableMap]:

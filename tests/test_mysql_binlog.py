@@ -253,3 +253,53 @@ def test_spark_end_to_end_with_registry_extraction(spark):
     assert got.count() == ev.count()
     assert want.exceptAll(got).count() == 0
     assert got.exceptAll(want).count() == 0
+
+
+def test_error_packet_roundtrip():
+    from binlogsub_spark.mysql_binlog import encode_error_packet, parse_error_packet
+
+    p = encode_error_packet(1236, "HY000", "Could not find first log file")
+    got = parse_error_packet(p)
+    assert got == {
+        "errcode": 1236,
+        "sqlstate": "HY000",
+        "message": "Could not find first log file",
+    }
+    with pytest.raises(ValueError):
+        parse_error_packet(b"\x00ok")
+
+
+def test_rotate_parse_roundtrip():
+    from binlogsub_spark.mysql_binlog import encode_rotate, parse_rotate
+
+    for cs in (False, True):
+        f = encode_rotate("binlog.000042", pos=4, checksum=cs)
+        assert parse_rotate(f, checksum=cs) == ("binlog.000042", 4)
+
+
+def test_demux_event_types(spark):
+    from pyspark.sql import functions as F
+
+    from binlogsub_spark.mysql_binlog import (
+        demux_event_types,
+        encode_format_description,
+        encode_rotate,
+        encode_rows_event,
+        encode_table_map,
+    )
+
+    tm = _tmap()
+    frames = [
+        encode_format_description(),
+        encode_table_map(tm),
+        encode_rows_event(WRITE_ROWS_EVENT_V2, tm, [
+            (1, 1, 1, Decimal("1.0000"), datetime(2024, 1, 1), 1, "a", "b", b"c", 1.0)
+        ]),
+        encode_rotate("binlog.000002"),
+    ]
+    df = spark.createDataFrame(
+        [(0, i, bytearray(f)) for i, f in enumerate(frames)],
+        "file_seq INT, log_pos LONG, payload BINARY",
+    )
+    got = {r["event_type"]: r["n_events"] for r in demux_event_types(df).collect()}
+    assert got == {"format_description": 1, "table_map": 1, "write_rows": 1, "rotate": 1}
