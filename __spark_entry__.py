@@ -537,6 +537,61 @@ def q_cdc_pipeline_e2e(spark, sf):
     )
 
 
+def q_cdc_mysql_pipeline_e2e(spark, sf):
+    """The ENTIRE reference-equivalent path over genuine MySQL frames,
+    value-checked by DuckDB: events-table-derived changes are packed into
+    real binlog rows-events (epoch-split table maps 11/12 — the `tool`
+    column arrives mid-stream via ALTER's new table_id), streamed through
+    registry broadcast -> wave decode -> salted LWW -> COW MERGE, with a
+    re-delivered suffix collapsing idempotently. Oracle: an independent
+    SQL LWW replay of the same derivation (same as cdc_pipeline_e2e)."""
+    from binlogsub_spark.config import EngineConfig
+    from binlogsub_spark.lake.table import LakeTable
+    from binlogsub_spark.mysql_binlog import encode_rows_df
+    from binlogsub_spark.pipeline import apply_mysql_batch
+    from binlogsub_spark.sources.generator import (
+        ROLE_ENUM,
+        TOOL_ENUM,
+        transcripts_table_maps,
+    )
+
+    tmaps = transcripts_table_maps()
+    flat = _events_as_flat_changes(spark, sf)
+    enc_in = flat.select(
+        "file_seq", "log_pos", "op",
+        F.when(F.col("schema_version") <= 1, F.lit(11)).otherwise(F.lit(12)).alias("table_id"),
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        F.array_position(
+            F.array(*[F.lit(r) for r in ROLE_ENUM]), F.col("role")
+        ).cast("long").alias("role"),
+        "text",
+        F.when(
+            F.col("tool").isNotNull(),
+            F.array_position(F.array(*[F.lit(t) for t in TOOL_ENUM]), F.col("tool")),
+        ).cast("long").alias("tool"),
+        "ts",
+    )
+    enc_in = enc_in.unionByName(enc_in.where(F.col("log_pos") % 13 == 0))
+    frames = encode_rows_df(
+        enc_in, tmaps[12], rows_per_event=1, checksum=True,
+        file_seq_col="file_seq", log_pos_col="log_pos",
+        op_col="op", tmap_col="table_id", tmaps=tmaps,
+    )
+    name_map: dict = {}
+    for tm in tmaps.values():
+        name_map.setdefault((tm.db, tm.table), []).append(tm.columns)
+    tmp = tempfile.mkdtemp(prefix="binlogsub_mysql_e2e_")
+    table = LakeTable(spark, os.path.join(tmp, "tbl"), buckets=16)
+    apply_mysql_batch(
+        table, frames, batch_id=1, cfg=EngineConfig(), name_map=name_map
+    )
+    return table.read().select(
+        "conv_id", F.col("turn_idx").cast("long").alias("turn_idx"),
+        "role", "text", "tool", "ts",
+    )
+
+
 def q_cdc_raw_decode(spark, sf):
     """Arrow byte-decode kernels (§2.6), now with a full DuckDB oracle:
     events-table-derived records are packed into the binary wire format
@@ -605,6 +660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_applied_skipped_metrics": q_cdc_applied_skipped_metrics,
         "cdc_props_json": q_cdc_props_json,
         "cdc_pipeline_e2e": q_cdc_pipeline_e2e,
+        "cdc_mysql_pipeline_e2e": q_cdc_mysql_pipeline_e2e,
         "cdc_mysql_row_decode": q_cdc_mysql_row_decode,
         "cdc_raw_decode": q_cdc_raw_decode,
         "cdc_deadletter_demux": q_cdc_deadletter_demux,
@@ -691,6 +747,18 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_FLAT_CHANGES_SQL})
         """,
         "cdc_pipeline_e2e": f"""
+            WITH flat AS ({_FLAT_CHANGES_SQL}),
+            w AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY conv_id, turn_idx
+                ORDER BY ts DESC, file_seq DESC, log_pos DESC) AS rn
+              FROM flat
+            )
+            SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+                   role, text, tool, ts
+            FROM w WHERE rn = 1 AND op <> 'D'
+        """,
+        "cdc_mysql_pipeline_e2e": f"""
             WITH flat AS ({_FLAT_CHANGES_SQL}),
             w AS (
               SELECT *, row_number() OVER (

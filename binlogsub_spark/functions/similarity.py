@@ -288,7 +288,7 @@ def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     n_probe: int = 4,
     seed: int = 42,
     id_col: str = "vec_id",
@@ -300,8 +300,16 @@ def ivf_topk(
     exactly rescore only inside probed cells. Candidate generation is an
     equi-join on cell id — the inverted-file structure; at 100 TB the cell
     assignment is a write-once clustering column and probing prunes the
-    scan to n_probe/n_cells of the corpus."""
+    scan to n_probe/n_cells of the corpus.
+
+    ``n_cells=None`` (default) scales the cell count with the corpus as
+    ~sqrt(n) (the standard IVF balance: cells and cell population both
+    O(sqrt n), so neither the broadcast centroid matmul nor the in-cell
+    rescoring dominates); a fixed small default would turn each cell into
+    an O(n) scan at 100x the corpus."""
     spark = corpus.sparkSession
+    if n_cells is None:
+        n_cells = max(16, int(corpus.count() ** 0.5))
     cent_rows = (
         corpus.select(id_col, vec_col)
         .withColumn("_h", F.xxhash64(F.col(id_col), F.lit(seed)))

@@ -776,6 +776,13 @@ def decode_rows_frames(
     return out
 
 
+_OP_TO_EVENT = {
+    "I": WRITE_ROWS_EVENT_V2,
+    "U": UPDATE_ROWS_EVENT_V2,
+    "D": DELETE_ROWS_EVENT_V2,
+}
+
+
 def encode_rows_df(
     df: DataFrame,
     tmap: TableMap,
@@ -783,21 +790,51 @@ def encode_rows_df(
     checksum: bool = False,
     include_table_map: bool = True,
     file_seq_col: str | None = None,
+    log_pos_col: str | None = None,
+    op_col: str | None = None,
+    tmap_col: str | None = None,
+    tmaps: dict[int, TableMap] | None = None,
 ) -> DataFrame:
     """Flat typed rows -> genuine-format framed binlog events (the fixture
     factory feeding decode_mysql_events; per-row Python is fine here —
-    fixture generation, not the hot path). Packs ``rows_per_event``
-    consecutive rows per WRITE_ROWS event; optionally emits a TABLE_MAP
-    frame at the head of each task partition (how a real stream interleaves
-    control events)."""
+    fixture generation, not the hot path). Packs up to ``rows_per_event``
+    consecutive SAME-OP rows per rows-event; optionally emits TABLE_MAP
+    frames at the head of each task partition (how a real stream
+    interleaves control events).
+
+    ``op_col`` ('I'/'U'/'D') selects WRITE/UPDATE/DELETE events (UPDATE
+    encodes before==after — a no-op update, key semantics intact).
+    ``log_pos_col`` carries true positions (use rows_per_event=1 so each
+    change keeps its own position). ``tmap_col`` + ``tmaps`` pick a
+    per-row table map by id — two epochs of one logical table is exactly
+    MySQL's ALTER-then-new-table_id shape."""
     import pandas as pd
     import pyarrow as pa
 
-    names = [c.name for c in tmap.columns]
-    b_tmap = df.sparkSession.sparkContext.broadcast(tmap)
+    all_tmaps = tmaps if tmaps is not None else {tmap.table_id: tmap}
+    b_tmaps = df.sparkSession.sparkContext.broadcast(all_tmaps)
+    default_tid = tmap.table_id
+
+    def _convert(tm: TableMap, d: dict) -> tuple:
+        row = []
+        for c in tm.columns:
+            v = d.get(c.name)
+            if v is None or (isinstance(v, float) and v != v):
+                row.append(None)
+            elif c.ctype == MYSQL_TYPE_NEWDECIMAL:
+                from decimal import Decimal
+
+                row.append(Decimal(str(v)))
+            elif c.ctype == MYSQL_TYPE_DATETIME2:
+                row.append(pd.Timestamp(v).to_pydatetime())
+            elif c.ctype in _INT_WIDTH or c.ctype == MYSQL_TYPE_STRING:
+                row.append(int(v))
+            else:
+                row.append(v)
+        return tuple(row)
 
     def _enc(batches):
-        tm = b_tmap.value
+        tms = b_tmaps.value
         emitted_map = not include_table_map
         for rb in batches:
             pdf = rb.to_pandas()
@@ -805,38 +842,49 @@ def encode_rows_df(
             fseqs: list[int] = []
             lpos: list[int] = []
             if not emitted_map:
-                payloads.append(encode_table_map(tm, checksum=checksum))
-                fseqs.append(0)
-                lpos.append(0)
+                for tm in tms.values():
+                    payloads.append(encode_table_map(tm, checksum=checksum))
+                    fseqs.append(0)
+                    lpos.append(0)
                 emitted_map = True
+            # (tid, op, file_seq, log_pos, row) in input order
             rows = []
             for t in pdf.itertuples(index=False):
                 d = t._asdict()
-                row = []
-                for c in tm.columns:
-                    v = d[c.name]
-                    if v is None or (isinstance(v, float) and v != v):
-                        row.append(None)
-                    elif c.ctype == MYSQL_TYPE_NEWDECIMAL:
-                        from decimal import Decimal
-
-                        row.append(Decimal(str(v)))
-                    elif c.ctype == MYSQL_TYPE_DATETIME2:
-                        row.append(pd.Timestamp(v).to_pydatetime())
-                    elif c.ctype in _INT_WIDTH or c.ctype == MYSQL_TYPE_STRING:
-                        row.append(int(v))
-                    else:
-                        row.append(v)
-                rows.append((int(d[file_seq_col]) if file_seq_col else 0, tuple(row)))
-            for i in range(0, len(rows), rows_per_event):
-                chunk = rows[i : i + rows_per_event]
-                payloads.append(
-                    encode_rows_event(
-                        WRITE_ROWS_EVENT_V2, tm, [r for _, r in chunk], checksum=checksum
+                tid = int(d[tmap_col]) if tmap_col else default_tid
+                rows.append(
+                    (
+                        tid,
+                        str(d[op_col]) if op_col else "I",
+                        int(d[file_seq_col]) if file_seq_col else 0,
+                        int(d[log_pos_col]) if log_pos_col else 0,
+                        _convert(tms[tid], d),
                     )
                 )
-                fseqs.append(chunk[0][0])
-                lpos.append(4 + i)
+            i = 0
+            seq = 4
+            while i < len(rows):
+                tid, op = rows[i][0], rows[i][1]
+                j = i
+                while (
+                    j < min(i + rows_per_event, len(rows))
+                    and rows[j][0] == tid
+                    and rows[j][1] == op
+                ):
+                    j += 1
+                chunk = rows[i:j]
+                etype = _OP_TO_EVENT[op]
+                images = [
+                    (r[4], r[4]) if etype == UPDATE_ROWS_EVENT_V2 else r[4]
+                    for r in chunk
+                ]
+                payloads.append(
+                    encode_rows_event(etype, tms[tid], images, checksum=checksum)
+                )
+                fseqs.append(chunk[0][2])
+                lpos.append(chunk[0][3] if log_pos_col else seq)
+                seq += 1
+                i = j
             yield pa.RecordBatch.from_pydict(
                 {
                     "file_seq": pa.array(np.array(fseqs, dtype=np.int32)),
@@ -912,9 +960,12 @@ def decode_mysql_events(
     carries no column names, /root/reference/row.cc:61-89).
 
     Control events (FORMAT_DESCRIPTION, ROTATE, TABLE_MAP, XID, QUERY) are
-    consumed and skipped — they carry no row payload. All tables in the
-    registry must share one column layout per output schema; decode one
-    table('s registry subset) per call."""
+    consumed and skipped — they carry no row payload. The output schema is
+    the UNION of the registry's column layouts (by name, first-seen order):
+    rows from a table that lacks a column get NULL there — exactly the
+    engine's schema-union evolution (T5), expressed over genuine frames
+    (MySQL's ALTER assigns a new table_id, so two epochs of one logical
+    table are two registry entries)."""
     import pyarrow as pa
 
     if registry is None:
@@ -922,12 +973,17 @@ def decode_mysql_events(
     if column_overrides:
         for tid, cols in column_overrides.items():
             registry[tid].columns = cols
-    layouts = {
-        tuple((c.name, c.ctype, c.meta) for c in tm.columns) for tm in registry.values()
-    }
-    if len(layouts) != 1:
-        raise ValueError("decode_mysql_events: one column layout per call")
-    columns = next(iter(registry.values())).columns
+    union_cols: list[MysqlColumn] = []
+    seen: dict[str, MysqlColumn] = {}
+    for tm in registry.values():
+        for c in tm.columns:
+            if c.name not in seen:
+                seen[c.name] = c
+                union_cols.append(c)
+            elif seen[c.name].spark_type() != c.spark_type():
+                raise ValueError(
+                    f"column {c.name!r} has conflicting types across table maps"
+                )
 
     out_schema = T.StructType(
         [
@@ -935,8 +991,18 @@ def decode_mysql_events(
             T.StructField("log_pos", T.LongType()),
             T.StructField("op", T.StringType()),
         ]
-        + [T.StructField(c.name, c.spark_type()) for c in columns]
+        + [T.StructField(c.name, c.spark_type()) for c in union_cols]
     )
+
+    def _pa_nulls(count: int, stype: T.DataType):
+        mapping = {
+            T.LongType(): pa.int64(),
+            T.DoubleType(): pa.float64(),
+            T.StringType(): pa.string(),
+            T.BinaryType(): pa.binary(),
+            T.TimestampType(): pa.timestamp("us"),
+        }
+        return pa.nulls(count, mapping[stype])
     spark = raw_df.sparkSession
     b_registry = spark.sparkContext.broadcast(registry)
 
@@ -977,10 +1043,14 @@ def decode_mysql_events(
                     "log_pos": pa.array(log_pos[g][fi].astype("int64")),
                     "op": pa.array(dec["op"], type=pa.string()),
                 }
-                for c in tm.columns:
+                by_name = {c.name: c for c in tm.columns}
+                for uc in union_cols:
+                    c = by_name.get(uc.name, uc)
                     packed = dec.get(c.name)
                     if packed is None:
-                        cols_out[c.name] = pa.nulls(n_rows, pa.string())
+                        # column absent from this table epoch (or not
+                        # present in the row image): schema-union backfill
+                        cols_out[uc.name] = _pa_nulls(n_rows, uc.spark_type())
                         continue
                     if len(packed) == 4:  # ("varlen", buf, lens, nulls)
                         _, buf, lens, nulls = packed

@@ -327,3 +327,175 @@ def run_stream_raw(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# -------------------------------------------------- genuine MySQL frames --
+def scope_registry(registry: dict, cfg: EngineConfig) -> dict:
+    """P2 pushdown for the MySQL path: drop out-of-scope tables from the
+    broadcast registry — rows-events for unmapped table_ids are then
+    skipped inside the decode kernel before any value parse (the exact
+    analog of the reference skipping row decode for unmatched tables,
+    /root/reference/packet.cc:201-205)."""
+    import re
+
+    db_re, tbl_re = re.compile(cfg.scope.db_regex), re.compile(cfg.scope.table_regex)
+    return {
+        tid: tm
+        for tid, tm in registry.items()
+        if db_re.search(tm.db) and tbl_re.search(tm.table)
+    }
+
+
+def override_columns_by_table(registry: dict, mapping: dict) -> dict:
+    """Ordinal->name projection for parsed registries (a TABLE_MAP carries
+    no column names, /root/reference/row.cc:61-89): map (db, table) -> one
+    or MORE candidate named layouts (a table ALTERed mid-stream appears
+    under several table_ids with different widths — each epoch needs its
+    own names). The candidate whose length and type codes match the parsed
+    layout wins; no match leaves the parsed col0..colN names."""
+    out = {}
+    for tid, tm in registry.items():
+        cands = mapping.get((tm.db, tm.table))
+        if not cands:
+            continue
+        if cands and not isinstance(cands[0], (list, tuple)):
+            cands = [cands]  # single layout
+        for cols in cands:
+            if len(cols) == len(tm.columns) and all(
+                c.ctype == p.ctype for c, p in zip(cols, tm.columns)
+            ):
+                out[tid] = list(cols)
+                break
+    return out
+
+
+def mysql_decoded_to_upserts(decoded: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """decode_mysql_events output -> upsert rows (version columns from the
+    frame positions; delete payloads nulled — the key comes from the
+    delete's before image, which IS the decoded image for op='D')."""
+    is_del = F.col("op") == OP_DELETE
+    payload = [
+        F.when(~is_del, F.col(c)).alias(c)
+        for c in cfg.scope.column_names
+        if c not in ("conv_id", "turn_idx", "ts")
+    ]
+    return decoded.select(
+        F.col("conv_id"),
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        *payload,
+        F.col("ts"),
+        F.col("op").alias("_op"),
+        F.col("ts").alias("_ts"),
+        F.col("file_seq").alias("_file_seq"),
+        F.col("log_pos").alias("_log_pos"),
+    )
+
+
+def apply_mysql_batch(
+    table: LakeTable,
+    raw_frames: DataFrame,
+    batch_id: int,
+    cfg: EngineConfig | None = None,
+    registry: dict | None = None,
+    name_map: dict | None = None,
+    checksum: bool = True,
+) -> dict:
+    """One micro-batch of GENUINE MySQL binlog frames: registry extract (or
+    reuse a pre-extracted one — cheaper per batch) -> scope filter at the
+    registry level -> broadcast -> vectorized wave decode -> salted LWW ->
+    COW MERGE. Frame counts in lineage include control events (table maps
+    etc.), matching how binlog positions advance over them."""
+    from pyspark import StorageLevel
+
+    from binlogsub_spark.mysql_binlog import decode_mysql_events, extract_table_maps
+
+    cfg = cfg or EngineConfig()
+    raw_frames.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        per_file = (
+            raw_frames.groupBy("file_seq")
+            .agg(F.max("log_pos").alias("max_log_pos"), F.count("*").alias("events"))
+            .collect()
+        )
+        total = sum(r["events"] for r in per_file)
+        watermark = None
+        if per_file:
+            top = max(per_file, key=lambda r: (r["file_seq"], r["max_log_pos"]))
+            watermark = {"file_seq": top["file_seq"], "log_pos": top["max_log_pos"]}
+
+        if registry is None:
+            registry = extract_table_maps(raw_frames, checksum=checksum)
+        registry = scope_registry(registry, cfg)
+        overrides = (
+            override_columns_by_table(registry, name_map) if name_map else None
+        )
+        decoded = decode_mysql_events(
+            raw_frames, registry, column_overrides=overrides, checksum=checksum
+        )
+        partials = partial_lww_reduce(
+            mysql_decoded_to_upserts(decoded, cfg), salt=cfg.skew_salt
+        )
+        res = table.merge(
+            partials, batch_id=batch_id, watermark=watermark, pre_reduced=True
+        )
+    finally:
+        raw_frames.unpersist(blocking=False)
+    applied = res["applied"]
+    if (
+        cfg.compact_every
+        and not res["replayed"]
+        and res["snapshot_id"] % cfg.compact_every == 0
+    ):
+        table.compact()
+    table.append_lineage(
+        [
+            (batch_id, r["file_seq"], r["max_log_pos"], r["events"], applied,
+             total - applied, res["replayed"], res["snapshot_id"])
+            for r in per_file
+        ]
+    )
+    return {
+        "batch_id": batch_id,
+        "events": total,
+        "applied": applied,
+        "skipped": total - applied,
+        "replayed": res["replayed"],
+        "snapshot_id": res["snapshot_id"],
+    }
+
+
+def run_stream_mysql(
+    spark: SparkSession,
+    source_path: str,
+    table: LakeTable,
+    checkpoint_dir: str,
+    cfg: EngineConfig | None = None,
+    name_map: dict | None = None,
+    max_files_per_trigger: int = 4,
+    available_now: bool = True,
+    checksum: bool = True,
+):
+    """Structured Streaming over a table of genuine MySQL binlog frames —
+    the FULL reference-equivalent path, end to end: every file carries its
+    TABLE_MAP control frames at the head, so any micro-batch (including
+    one after a restart) can rebuild its registry from its own frames."""
+    from binlogsub_spark.plans.envelope import RAW_SCHEMA
+
+    cfg = cfg or EngineConfig()
+    reader = (
+        spark.readStream.schema(RAW_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_path)
+    )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        apply_mysql_batch(
+            table, batch_df, batch_id, cfg, name_map=name_map, checksum=checksum
+        )
+
+    writer = reader.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

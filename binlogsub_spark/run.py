@@ -42,13 +42,23 @@ def main(argv: list[str] | None = None) -> int:
         help="binary wire mode: source rows are (file_seq, log_pos, "
         "payload:binary); decode runs as an Arrow kernel inside each batch",
     )
+    ap.add_argument(
+        "--mysql", action="store_true",
+        help="genuine MySQL binlog-frame mode: source rows are (file_seq, "
+        "log_pos, payload) where payload is a full binlog event frame "
+        "(19-byte header, TABLE_MAP control frames, rows events v2, CRC32)",
+    )
     ap.add_argument("--merge-strategy", choices=["jvm", "arrow_local"], default="jvm")
     args = ap.parse_args(argv)
 
     spark = get_spark(app_name="binlogsub-ingest", master=args.master)
     if args.generate:
         params = GeneratorParams(n_events=args.generate)
-        if args.raw:
+        if args.mysql:
+            from binlogsub_spark.sources.generator import write_mysql_binlog
+
+            write_mysql_binlog(spark, args.source, params, n_files=16)
+        elif args.raw:
             from binlogsub_spark.sources.generator import write_raw_binlog
 
             write_raw_binlog(spark, args.source, params, n_files=16)
@@ -58,8 +68,17 @@ def main(argv: list[str] | None = None) -> int:
     table = LakeTable(
         spark, args.table, buckets=args.buckets, merge_strategy=args.merge_strategy
     )
+    extra_kw = {}
     runner = run_stream
-    if args.raw:
+    if args.mysql:
+        from binlogsub_spark.pipeline import run_stream_mysql as runner
+        from binlogsub_spark.sources.generator import transcripts_table_maps
+
+        name_map: dict = {}
+        for tm in transcripts_table_maps().values():
+            name_map.setdefault((tm.db, tm.table), []).append(tm.columns)
+        extra_kw["name_map"] = name_map
+    elif args.raw:
         from binlogsub_spark.pipeline import run_stream_raw as runner
     q = runner(
         spark,
@@ -69,6 +88,7 @@ def main(argv: list[str] | None = None) -> int:
         cfg=EngineConfig(table_buckets=args.buckets),
         max_files_per_trigger=args.max_files_per_trigger,
         available_now=True,
+        **extra_kw,
     )
     q.awaitTermination(args.timeout_sec)
 

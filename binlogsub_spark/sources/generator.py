@@ -203,3 +203,102 @@ def write_raw_binlog(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+# ------------------------------------------------- genuine MySQL variant --
+ROLE_ENUM = ("user", "assistant", "tool")
+TOOL_ENUM = tuple(f"tool_{i}" for i in range(5))
+
+
+def transcripts_table_maps():
+    """The transcripts table as MySQL table maps, in BOTH schema epochs:
+    table_id 11 = pre-ALTER (no `tool` column), table_id 12 = post-ALTER —
+    exactly how MySQL represents an ALTERed table (new table_id, new
+    TABLE_MAP), plus an out-of-scope noise table (id 13) to exercise the
+    registry-level scope filter."""
+    from binlogsub_spark.mysql_binlog import (
+        MYSQL_TYPE_DATETIME2,
+        MYSQL_TYPE_ENUM,
+        MYSQL_TYPE_LONG,
+        MYSQL_TYPE_STRING,
+        MYSQL_TYPE_VARCHAR,
+        MysqlColumn,
+        TableMap,
+    )
+
+    def _cols(with_tool: bool):
+        cols = [
+            MysqlColumn("conv_id", MYSQL_TYPE_VARCHAR, meta=24, nullable=False),
+            MysqlColumn("turn_idx", MYSQL_TYPE_LONG, nullable=False),
+            MysqlColumn(
+                "role", MYSQL_TYPE_STRING, meta=(MYSQL_TYPE_ENUM, 1),
+                enum_values=ROLE_ENUM,
+            ),
+            MysqlColumn("text", MYSQL_TYPE_VARCHAR, meta=4096),
+        ]
+        if with_tool:
+            cols.append(
+                MysqlColumn(
+                    "tool", MYSQL_TYPE_STRING, meta=(MYSQL_TYPE_ENUM, 1),
+                    enum_values=TOOL_ENUM,
+                )
+            )
+        cols.append(MysqlColumn("ts", MYSQL_TYPE_DATETIME2, meta=6))
+        return cols
+
+    from binlogsub_spark.mysql_binlog import TableMap as _TM  # noqa: F401
+
+    return {
+        11: TableMap(11, "test", "transcripts", _cols(False)),
+        12: TableMap(12, "test", "transcripts", _cols(True)),
+        13: TableMap(13, "other", "noise", _cols(True)),
+    }
+
+
+def write_mysql_binlog(
+    spark: SparkSession,
+    path: str,
+    params: GeneratorParams = GeneratorParams(),
+    n_files: int = 16,
+    checksum: bool = True,
+) -> None:
+    """Materialize the GENUINE-MYSQL-FORMAT variant: framed binlog events
+    (19-byte headers, TABLE_MAP control frames at each file head, one
+    WRITE/UPDATE/DELETE rows-event v2 per change, CRC32 trailers) as
+    (file_seq, log_pos, payload) parquet — the input that exercises the
+    full mysql_binlog decode path end-to-end."""
+    from binlogsub_spark.mysql_binlog import encode_rows_df
+
+    tmaps = transcripts_table_maps()
+    flat = flatten_for_wire(generate_binlog(spark, params))
+    enc_in = flat.select(
+        "delivery_seq", "file_seq", "log_pos", "op",
+        F.when(F.col("db_name") == "other", F.lit(13))
+        .when(F.col("schema_version") <= 1, F.lit(11))
+        .otherwise(F.lit(12)).alias("table_id"),
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        F.array_position(
+            F.array(*[F.lit(r) for r in ROLE_ENUM]), F.col("role")
+        ).cast("long").alias("role"),
+        "text",
+        F.when(
+            F.col("tool").isNotNull(),
+            F.array_position(F.array(*[F.lit(t) for t in TOOL_ENUM]), F.col("tool")),
+        ).cast("long").alias("tool"),
+        "ts",
+    ).repartitionByRange(n_files, "delivery_seq").sortWithinPartitions("delivery_seq")
+    raw = encode_rows_df(
+        enc_in.drop("delivery_seq"),
+        tmaps[12],
+        rows_per_event=1,  # one change per event: every change keeps its
+        # own (file_seq, log_pos) for the LWW version triple
+        checksum=checksum,
+        include_table_map=True,  # control frames at each partition head
+        file_seq_col="file_seq",
+        log_pos_col="log_pos",
+        op_col="op",
+        tmap_col="table_id",
+        tmaps=tmaps,
+    )
+    raw.write.mode("overwrite").parquet(path)
