@@ -210,3 +210,35 @@ def test_salted_partial_reduce_bounds_hot_key(spark):
     assert per_key.agg(F.max("n")).collect()[0][0] <= 8
     hot_out = partials.where("conv_id = 'conv_hot'").count()
     assert hot_out <= 50 * 8  # max_turns * salt
+
+
+def test_bucket_pruned_plans_and_point_lookup(spark, tmp_path):
+    """Scale audit: bucket subsets land as PartitionFilters in the parquet
+    scan (COW pruning is real, not logical), user predicates are
+    PushedFilters, and read_for_keys prunes to the key's bucket."""
+    from binlogsub_spark.config import EngineConfig
+    from binlogsub_spark.lake.table import LakeTable
+    from binlogsub_spark.pipeline import apply_batch
+    from binlogsub_spark.sources.generator import GeneratorParams, generate_binlog
+
+    table = LakeTable(spark, str(tmp_path / "t"), buckets=16)
+    apply_batch(
+        table, generate_binlog(spark, GeneratorParams(n_events=8000)), 1, EngineConfig()
+    )
+
+    plan = table.read_internal(buckets=[3, 7])._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [_bucket" in plan
+    assert "(3,7)" in plan or "3, 7" in plan
+
+    point = table.read_for_keys(["conv_hot"])
+    pplan = point._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in pplan
+    import re
+    pf = re.search(r"PartitionFilters: \[[^\]]*\]", pplan).group(0)
+    # exactly one bucket survives pruning for a single key
+    assert len(re.findall(r"\d+", pf.split("IN")[-1])) <= 3, pf
+    rows = point.collect()
+    assert rows and all(r["conv_id"] == "conv_hot" for r in rows)
+    # equality with the unpruned read
+    full = table.read().where("conv_id = 'conv_hot'").collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, full))
