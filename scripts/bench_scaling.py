@@ -98,7 +98,7 @@ def main() -> int:
     eff = (hi["eps"] / lo["eps"]) / (high / low)
     sup_eff = (sup_hi["eps"] / sup_lo["eps"]) / 4
 
-    md = f"""# BENCH — scaling evidence (round 1)
+    md = f"""# BENCH — scaling evidence
 
 Two-parallelism proxy for the N -> 4N executor requirement
 (`BASELINE.json`): the SAME pre-materialized binlog ({lo['events']:,}
@@ -146,7 +146,13 @@ Analysis:
   O(buckets) manifest commit.
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    marker = "<!-- ADDENDA (preserved across bench_scaling.py rewrites) -->"
+    if os.path.exists(out_path):
+        prev = open(out_path).read()
+        if marker in prev:
+            md = md + "\n" + marker + prev.split(marker, 1)[1]
+    with open(out_path, "w") as f:
         f.write(md)
     print(json.dumps({"low": lo, "high": hi, "efficiency": round(eff, 3)}))
     return 0
