@@ -323,9 +323,30 @@ def encode_rotate(next_file: str, pos: int = 4, checksum: bool = False, **kw) ->
 
 
 def encode_format_description(checksum: bool = False, **kw) -> bytes:
+    """FORMAT_DESCRIPTION_EVENT: binlog version u16 + 50-byte server
+    version + create ts u32 + header length + post-header length table +
+    trailing checksum-algorithm byte (0 = off, 1 = CRC32) — the byte the
+    reference's checksum probe reads (S3, mysqlProcess.cc:90-114)."""
     body = struct.pack("<H", 4) + b"8.0.0".ljust(50, b"\x00") + struct.pack("<I", 0)
     body += bytes([HEADER_LEN]) + bytes(41)
+    body += bytes([1 if checksum else 0])  # checksum algorithm descriptor
     return _finish_event(FORMAT_DESCRIPTION_EVENT, body, checksum=checksum, **kw)
+
+
+def fd_checksum_enabled(frame: bytes) -> bool:
+    """Read the checksum-algorithm byte out of a FORMAT_DESCRIPTION frame:
+    the in-band replacement for the reference's `SHOW GLOBAL VARIABLES
+    LIKE 'BINLOG_CHECKSUM'` probe. When checksums are ON, the FD event
+    itself carries alg byte + its own CRC as the last 5 bytes; when OFF,
+    the alg byte (0) is last."""
+    h = parse_event_header(frame)
+    if h["type_code"] != FORMAT_DESCRIPTION_EVENT:
+        raise ValueError("not a FORMAT_DESCRIPTION event")
+    # try checksum-on layout first: [... alg][crc32 of frame[:-4]]
+    if len(frame) >= 24 and frame[-5] == 1:
+        if zlib.crc32(frame[:-4]) == int.from_bytes(frame[-4:], "little"):
+            return True
+    return False
 
 
 # ----------------------------------------------------- protocol packets --
@@ -894,6 +915,64 @@ def encode_rows_df(
             )
 
     return df.mapInArrow(_enc, schema=MYSQL_RAW_SCHEMA)
+
+
+# ----------------------------------------------------- binlog FILE source --
+BINLOG_MAGIC = b"\xfebin"  # the 4-byte file header every binlog starts with
+
+
+def split_binlog_bytes(blob: bytes) -> list[tuple[int, bytes]]:
+    """Split one binlog FILE's bytes into (byte_offset, frame) pairs using
+    each event's own event_len (the framing walk the reference does off the
+    socket, /root/reference/packet.cc:313-358). Offsets are the REAL binlog
+    positions (log_pos in MySQL is a byte offset). Sequential by nature —
+    each file is one unit of parallelism (binaryFile rows fan out across
+    executors)."""
+    if blob[:4] != BINLOG_MAGIC:
+        raise ValueError("not a binlog file (missing 0xfe 'bin' magic)")
+    out = []
+    pos, n = 4, len(blob)
+    while pos + HEADER_LEN <= n:
+        event_len = int.from_bytes(blob[pos + 9 : pos + 13], "little")
+        if event_len < HEADER_LEN or pos + event_len > n:
+            raise ValueError(f"corrupt frame length {event_len} at offset {pos}")
+        out.append((pos, blob[pos : pos + event_len]))
+        pos += event_len
+    if pos != n:
+        raise ValueError(f"trailing garbage: {n - pos} bytes after last frame")
+    return out
+
+
+def binlog_files_to_frames(spark, path_glob: str) -> DataFrame:
+    """Real .binlog files -> the engine's framed-event table
+    (file_seq, log_pos, payload): `binaryFile` source (one file per task),
+    magic check + event_len walk per file, file_seq parsed from the
+    `basename.NNNNNN` suffix — the reference's rotate-driven file sequence
+    (packet.cc:120-139) recovered from names."""
+    import pyarrow as pa
+
+    files = spark.read.format("binaryFile").load(path_glob)
+
+    def _split(batches):
+        for rb in batches:
+            paths = rb.column(rb.schema.get_field_index("path")).to_pylist()
+            contents = rb.column(rb.schema.get_field_index("content"))
+            fseqs, lpos, frames = [], [], []
+            for i, p in enumerate(paths):
+                seq = int(p.rsplit(".", 1)[-1])
+                for off, frame in split_binlog_bytes(contents[i].as_py()):
+                    fseqs.append(seq)
+                    lpos.append(off)
+                    frames.append(frame)
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "file_seq": pa.array(np.array(fseqs, dtype=np.int32)),
+                    "log_pos": pa.array(np.array(lpos, dtype=np.int64)),
+                    "payload": pa.array(frames, type=pa.binary()),
+                }
+            )
+
+    return files.select("path", "content").mapInArrow(_split, schema=MYSQL_RAW_SCHEMA)
 
 
 # ------------------------------------------------------- DataFrame API --

@@ -302,3 +302,64 @@ def write_mysql_binlog(
         tmaps=tmaps,
     )
     raw.write.mode("overwrite").parquet(path)
+
+
+def write_mysql_binlog_files(
+    spark: SparkSession,
+    dir_path: str,
+    params: GeneratorParams = GeneratorParams(),
+    checksum: bool = True,
+) -> list[str]:
+    """REAL .binlog files: 0xfe'bin' magic, then back-to-back frames —
+    FORMAT_DESCRIPTION (carrying the checksum-algorithm byte), the table
+    maps, then one rows-event per change, positions = byte offsets. Driver-
+    side writer (fixture scale; a deployment tails files produced by the
+    database, it does not synthesize them). Returns the file paths."""
+    import os
+
+    from binlogsub_spark.mysql_binlog import (
+        BINLOG_MAGIC,
+        DELETE_ROWS_EVENT_V2,
+        UPDATE_ROWS_EVENT_V2,
+        WRITE_ROWS_EVENT_V2,
+        encode_format_description,
+        encode_rows_event,
+        encode_table_map,
+    )
+
+    op_event = {"I": WRITE_ROWS_EVENT_V2, "U": UPDATE_ROWS_EVENT_V2, "D": DELETE_ROWS_EVENT_V2}
+    tmaps = transcripts_table_maps()
+    rows = (
+        flatten_for_wire(generate_binlog(spark, params))
+        .orderBy("delivery_seq")
+        .collect()
+    )
+    os.makedirs(dir_path, exist_ok=True)
+    by_file: dict[int, list] = {}
+    for r in rows:
+        by_file.setdefault(int(r["file_seq"]), []).append(r)
+    paths = []
+    for seq, rs in sorted(by_file.items()):
+        frames = [encode_format_description(checksum=checksum)]
+        for tm in tmaps.values():
+            frames.append(encode_table_map(tm, checksum=checksum))
+        for r in rs:
+            tid = 13 if r["db_name"] == "other" else (11 if r["schema_version"] <= 1 else 12)
+            tm = tmaps[tid]
+            row = [
+                r["conv_id"],
+                int(r["turn_idx"]),
+                ROLE_ENUM.index(r["role"]) + 1,
+                r["text"],
+            ]
+            if tid != 11:
+                row.append(TOOL_ENUM.index(r["tool"]) + 1 if r["tool"] is not None else None)
+            row.append(r["ts"])
+            img = tuple(row)
+            images = [(img, img)] if r["op"] == "U" else [img]
+            frames.append(encode_rows_event(op_event[r["op"]], tm, images, checksum=checksum))
+        path = os.path.join(dir_path, f"binlog.{seq:06d}")
+        with open(path, "wb") as f:
+            f.write(BINLOG_MAGIC + b"".join(frames))
+        paths.append(path)
+    return paths

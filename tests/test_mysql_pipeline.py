@@ -88,3 +88,41 @@ def test_mysql_stream_resumes_to_same_state(spark, tmp_path):
     t2 = LakeTable(spark, str(tmp_path / "tbl2"), buckets=16)
     apply_mysql_batch(t2, frames, batch_id=1, cfg=EngineConfig(), name_map=_name_map())
     assert _final(table.read()) == _final(t2.read())
+
+
+def test_binlog_files_source_end_to_end(spark, tmp_path):
+    """REAL .binlog files (magic, FD with checksum byte, byte-offset
+    positions) -> frame split -> full engine: final table equals the
+    structured path's on the same logical stream."""
+    from binlogsub_spark.mysql_binlog import (
+        binlog_files_to_frames,
+        demux_event_types,
+        fd_checksum_enabled,
+        split_binlog_bytes,
+    )
+    from binlogsub_spark.sources.generator import write_mysql_binlog_files
+
+    params = GeneratorParams(n_events=3000, n_convs=50, dup_tail=0)
+    d = str(tmp_path / "binlogs")
+    paths = write_mysql_binlog_files(spark, d, params, checksum=True)
+    assert len(paths) >= 1 and paths[0].endswith("binlog.000000")
+
+    # checksum mode is discoverable from the file itself (S3 probe analog)
+    first = split_binlog_bytes(open(paths[0], "rb").read())
+    assert first[0][0] == 4  # first frame right after the magic
+    assert fd_checksum_enabled(first[0][1]) is True
+
+    frames = binlog_files_to_frames(spark, d)
+    got = {r["event_type"]: r["n_events"] for r in demux_event_types(frames).collect()}
+    assert got["format_description"] == len(paths)
+    assert got["table_map"] == 3 * len(paths)
+
+    t_files = LakeTable(spark, str(tmp_path / "tf"), buckets=16)
+    m = apply_mysql_batch(
+        t_files, frames, batch_id=1, cfg=EngineConfig(), name_map=_name_map()
+    )
+    assert m["applied"] > 0
+
+    t_struct = LakeTable(spark, str(tmp_path / "ts"), buckets=16)
+    apply_batch(t_struct, generate_binlog(spark, params), batch_id=1, cfg=EngineConfig())
+    assert _final(t_files.read()) == _final(t_struct.read())
