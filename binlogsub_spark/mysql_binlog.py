@@ -504,12 +504,13 @@ def _decimal_layout(prec: int, scale: int) -> list[tuple[int, int]]:
     return groups
 
 
-def _decode_newdecimal_vec(
+def _decode_newdecimal_scaled(
     data: np.ndarray, pos: np.ndarray, prec: int, scale: int
 ) -> tuple[np.ndarray, int]:
-    """Vectorized packed-decimal decode -> float64 (mydecimal.cc:33-131).
-    precision <= 18 keeps the scaled integer exactly in int64 (the engine's
-    supported range; MySQL's max 65 needs int256 — out of scope)."""
+    """Vectorized packed-decimal decode -> EXACT scaled int64 (value =
+    scaled / 10^scale; mydecimal.cc:33-131). precision <= 18 keeps the
+    scaled integer exactly in int64 (the engine's supported range; MySQL's
+    max 65 needs int256 — out of scope)."""
     if prec > 18:
         raise ValueError("NEWDECIMAL precision > 18 not supported by the vector path")
     size = decimal_bin_size(prec, scale)
@@ -525,7 +526,15 @@ def _decode_newdecimal_vec(
             g = (g << 8) | m[:, off + b].astype(np.int64)
         scaled = scaled * (10**ndigits) + g
         off += nbytes
-    scaled = np.where(positive, scaled, -scaled)
+    return np.where(positive, scaled, -scaled), size
+
+
+def _decode_newdecimal_vec(
+    data: np.ndarray, pos: np.ndarray, prec: int, scale: int
+) -> tuple[np.ndarray, int]:
+    """float64 view of the exact scaled decode (the DoubleType output
+    column of the decoder; exact for <= 15 significant digits)."""
+    scaled, size = _decode_newdecimal_scaled(data, pos, prec, scale)
     return scaled.astype(np.float64) / (10.0**scale), size
 
 
