@@ -303,3 +303,85 @@ def test_demux_event_types(spark):
     )
     got = {r["event_type"]: r["n_events"] for r in demux_event_types(df).collect()}
     assert got == {"format_description": 1, "table_map": 1, "write_rows": 1, "rotate": 1}
+
+
+from hypothesis import given, settings, strategies as st
+
+_TEXT = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)), max_size=80
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(-(2**63), 2**63 - 1),                      # id LONGLONG
+            st.one_of(st.none(), st.integers(-(2**31), 2**31 - 1)),  # user_id LONG
+            st.one_of(st.none(), st.integers(1, 5)),                # etype ENUM
+            st.one_of(st.none(), st.decimals(
+                min_value=-(10**13), max_value=10**13, places=4)),   # score DEC(18,4)
+            st.one_of(st.none(), st.datetimes(
+                min_value=__import__("datetime").datetime(1000, 1, 1),
+                max_value=__import__("datetime").datetime(9999, 12, 31, 23, 59, 59, 999999))),
+            st.one_of(st.none(), st.integers(-128, 127)),           # k TINY
+            st.one_of(st.none(), _TEXT.filter(lambda s: len(s.encode()) < 40)),  # tag
+            st.one_of(st.none(), _TEXT),                            # props
+            st.one_of(st.none(), st.binary(max_size=600)),          # raw BLOB
+            st.one_of(st.none(), st.floats(allow_nan=False, allow_infinity=False)),
+        ),
+        min_size=1, max_size=12,
+    ),
+    checksum=st.booleans(),
+)
+def test_rows_event_roundtrip_property(rows, checksum):
+    """Hypothesis: arbitrary typed rows (full NULL combinations, extreme
+    ints, unicode varlen, wide decimals, edge datetimes) survive
+    encode -> wave decode exactly."""
+    tm = _tmap()
+    frames = [encode_rows_event(WRITE_ROWS_EVENT_V2, tm, rows, checksum=checksum)]
+    data, starts, ends = _frames_np(frames)
+    dec = decode_rows_frames(
+        data, starts, ends, np.array([WRITE_ROWS_EVENT_V2], np.uint8), tm,
+        checksum=checksum,
+    )
+    n = len(rows)
+    assert len(dec["frame_idx"]) == n
+    # id is non-nullable in the tmap; index rows by it when unique, else by order
+    got_ids = list(dec["id"][0])
+    order = sorted(range(n), key=lambda i: (got_ids[i], i))
+    exp_order = sorted(range(n), key=lambda i: (rows[i][0], i))
+    for gi, ei in zip(order, exp_order):
+        row = rows[ei]
+        for col_i, name in ((1, "user_id"), (2, "etype"), (5, "k")):
+            vals, nulls = dec[name]
+            if row[col_i] is None:
+                assert nulls[gi], (name, row)
+            else:
+                assert not nulls[gi] and vals[gi] == row[col_i], (name, row)
+        vals, nulls = dec["score"]
+        if row[3] is None:
+            assert nulls[gi]
+        else:
+            # DoubleType output is exact to ~15 significant digits (the
+            # docstring's contract); wider decimals carry last-ulp error
+            assert vals[gi] == pytest.approx(float(row[3]), rel=1e-12)
+        vals, nulls = dec["ts"]
+        if row[4] is None:
+            assert nulls[gi]
+        else:
+            assert int(vals[gi]) == int(np.datetime64(row[4], "us").astype("int64"))
+        vals, nulls = dec["val"]
+        if row[9] is None:
+            assert nulls[gi]
+        else:
+            assert vals[gi] == row[9]
+        for name, col_i in (("tag", 6), ("props", 7), ("raw", 8)):
+            _, buf, lens, nulls = dec[name]
+            off = np.concatenate([[0], np.cumsum(lens)])
+            if row[col_i] is None:
+                assert nulls[gi]
+            else:
+                got = bytes(buf[off[gi] : off[gi + 1]])
+                want = row[col_i].encode() if isinstance(row[col_i], str) else row[col_i]
+                assert got == want

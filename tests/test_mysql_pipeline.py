@@ -126,3 +126,46 @@ def test_binlog_files_source_end_to_end(spark, tmp_path):
     t_struct = LakeTable(spark, str(tmp_path / "ts"), buckets=16)
     apply_batch(t_struct, generate_binlog(spark, params), batch_id=1, cfg=EngineConfig())
     assert _final(t_files.read()) == _final(t_struct.read())
+
+
+def test_mysql_stream_kill_and_restart(spark, tmp_path):
+    """Kill the MySQL-frame stream mid-flight, restart from the same
+    checkpoint: the final table must equal the uninterrupted batch apply
+    (replayed micro-batch lands as a committed no-op)."""
+    import time
+
+    src = str(tmp_path / "mysqllog")
+    write_mysql_binlog(spark, src, PARAMS, n_files=12)
+    table = LakeTable(spark, str(tmp_path / "tbl"), buckets=16)
+    ckpt = str(tmp_path / "ckpt")
+
+    q = run_stream_mysql(
+        spark, src, table, ckpt, cfg=EngineConfig(), name_map=_name_map(),
+        max_files_per_trigger=2, available_now=False,
+    )
+    deadline = time.monotonic() + 180
+    while True:
+        try:
+            snap = table.snapshot()
+        except Exception:
+            snap = None
+        if snap is not None and snap["batch_id"] >= 1:
+            break
+        if q.exception() is not None:
+            raise q.exception()
+        assert time.monotonic() < deadline, "stream made no progress"
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(120)
+    assert table.snapshot() is not None  # partial progress committed
+
+    q2 = run_stream_mysql(
+        spark, src, table, ckpt, cfg=EngineConfig(), name_map=_name_map(),
+        max_files_per_trigger=4,
+    )
+    q2.awaitTermination(300)
+
+    frames = spark.read.parquet(src)
+    t2 = LakeTable(spark, str(tmp_path / "clean"), buckets=16)
+    apply_mysql_batch(t2, frames, batch_id=1, cfg=EngineConfig(), name_map=_name_map())
+    assert _final(table.read()) == _final(t2.read())
