@@ -327,6 +327,29 @@ def q_text_fingerprint(spark, sf):
     )
 
 
+def q_corpus_clean(spark, sf):
+    """The composed training-data pipeline (the reason the operator family
+    exists): exact-dedup to keepers -> quality gate -> language filter ->
+    clean corpus with per-doc features. Every stage is JVM expressions, so
+    the WHOLE pipeline has an exact SQL oracle."""
+    from binlogsub_spark.functions.dedup import exact_duplicates
+    from binlogsub_spark.functions.text import lang_id, quality_features
+
+    d = _t(spark, sf, "documents")
+    keep = exact_duplicates(d).where(~F.col("is_duplicate")).select("doc_id", "fp")
+    feats = quality_features(F.col("text"))
+    scored = d.join(keep, "doc_id").select(
+        "doc_id",
+        "fp",
+        lang_id(F.col("text")).alias("lang"),
+        feats["n_tokens"].cast("long").alias("n_tokens"),
+        feats["quality_score"].alias("quality_score"),
+    )
+    return scored.where(
+        (F.col("quality_score") >= 500) & (F.col("lang") == "en") & (F.col("n_tokens") >= 10)
+    )
+
+
 def q_multimodal_metadata(spark, sf):
     from binlogsub_spark.functions.multimodal import attach_media
 
@@ -678,6 +701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_score": q_text_quality_score,
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
+        "corpus_clean": q_corpus_clean,
         "multimodal_metadata": q_multimodal_metadata,
         "multimodal_decode_features": q_multimodal_decode_features,
     }
@@ -999,6 +1023,45 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_fingerprint": f"""
             SELECT doc_id, md5({_NORM}) AS fp FROM documents
+        """,
+        "corpus_clean": f"""
+            WITH fp AS (SELECT doc_id, md5({_NORM}) AS fp FROM documents),
+            keepers AS (
+              SELECT f.doc_id, f.fp FROM fp f
+              JOIN (SELECT fp, min(doc_id) AS keeper_id FROM fp GROUP BY fp) g
+                USING (fp)
+              WHERE f.doc_id = g.keeper_id
+            ),
+            b AS (
+              SELECT d.doc_id, k.fp, d.text,
+                CASE WHEN length({_NORM}) = 0 THEN 0
+                     ELSE len(str_split({_NORM}, ' ')) END AS n_tokens,
+                len(regexp_extract_all({_NORM},
+                    '\\b(the|a|an|and|or|of|to|in|is|it)\\b')) AS n_stop,
+                len(regexp_extract_all(d.text, '[0-9]')) AS n_digit,
+                length(d.text) AS n_chars,
+                len(regexp_extract_all({_NORM}, '\\b(the|a|of|and|is)\\b')) AS c_en,
+                len(regexp_extract_all({_NORM}, '\\b(der|die|das|und|ist)\\b')) AS c_de,
+                len(regexp_extract_all({_NORM}, '\\b(le|la|les|et|est)\\b')) AS c_fr,
+                len(regexp_extract_all({_NORM}, '\\b(el|la|los|y|es)\\b')) AS c_es
+              FROM documents d JOIN keepers k USING (doc_id)
+            ),
+            s AS (
+              SELECT doc_id, fp,
+                CASE WHEN greatest(c_en, c_de, c_fr, c_es) = 0 THEN 'und'
+                     WHEN c_en = greatest(c_en, c_de, c_fr, c_es) THEN 'en'
+                     WHEN c_de = greatest(c_en, c_de, c_fr, c_es) THEN 'de'
+                     WHEN c_fr = greatest(c_en, c_de, c_fr, c_es) THEN 'fr'
+                     ELSE 'es' END AS lang,
+                n_tokens,
+                CAST(least(n_tokens, 100) * 4
+                     + least(floor(n_stop * 1500 / greatest(n_tokens, 1)), 300)
+                     + (300 - least(floor(n_digit * 3000 / greatest(n_chars, 1)), 300))
+                     AS BIGINT) AS quality_score
+              FROM b
+            )
+            SELECT doc_id, fp, lang, n_tokens, quality_score FROM s
+            WHERE quality_score >= 500 AND lang = 'en' AND n_tokens >= 10
         """,
         # the stub codec derives (width, height, feature) deterministically
         # from the sha256 digest bytes — so even the "decode" is oracle-able:
