@@ -926,6 +926,65 @@ def encode_rows_df(
     return df.mapInArrow(_enc, schema=MYSQL_RAW_SCHEMA)
 
 
+# ------------------------------------------------------- frame validation --
+MYSQL_REASON_NAMES = np.array(["ok", "short_frame", "len_mismatch", "bad_crc"])
+
+
+def validate_mysql_frames(
+    data: np.ndarray, starts: np.ndarray, ends: np.ndarray, checksum: bool = False
+) -> np.ndarray:
+    """Per-frame reason codes (0 = ok): header-length sanity, the event's
+    own event_len against the frame's actual size, and (when checksums are
+    on) CRC32 over header+body — the engine-side analog of the server's
+    checksum verification; a corrupt frame must dead-letter, never abort
+    the stream (same contract as codec.validate_reasons)."""
+    n = len(starts)
+    lens = ends - starts
+    reasons = np.zeros(n, dtype=np.uint8)
+    reasons[lens < HEADER_LEN] = 1  # short_frame
+    ok = np.flatnonzero(reasons == 0)
+    if len(ok):
+        event_len = _u_le(data, starts[ok] + 9, 4).astype(np.int64)
+        reasons[ok[event_len != lens[ok]]] = 2  # len_mismatch
+    if checksum:
+        for i in np.flatnonzero(reasons == 0):
+            s, e = int(starts[i]), int(ends[i])
+            if zlib.crc32(data[s : e - 4]) != int(
+                _u_le(data, np.array([e - 4]), 4)[0]
+            ):
+                reasons[i] = 3  # bad_crc
+    return reasons
+
+
+def split_deadletter_mysql(
+    raw_df: DataFrame, checksum: bool = False
+) -> tuple[DataFrame, DataFrame]:
+    """(valid, dead_letter) demux for MySQL frames; the dead side carries
+    a ``_reason`` column naming the failed check."""
+    import pyarrow as pa
+
+    from binlogsub_spark.codec import _binary_buffers
+
+    flag_schema = T.StructType(
+        list(raw_df.schema.fields)
+        + [T.StructField("_valid", T.BooleanType()), T.StructField("_reason", T.StringType())]
+    )
+
+    def _flag(batches):
+        for rb in batches:
+            arr = rb.column(rb.schema.get_field_index("payload"))
+            starts, ends, data = _binary_buffers(arr)
+            reasons = validate_mysql_frames(data, starts, ends, checksum=checksum)
+            rb = rb.append_column("_valid", pa.array(reasons == 0))
+            yield rb.append_column("_reason", pa.array(MYSQL_REASON_NAMES[reasons]))
+
+    flagged = raw_df.mapInArrow(_flag, schema=flag_schema)
+    return (
+        flagged.where(F.col("_valid")).drop("_valid", "_reason"),
+        flagged.where(~F.col("_valid")).drop("_valid"),
+    )
+
+
 # ----------------------------------------------------- binlog FILE source --
 BINLOG_MAGIC = b"\xfebin"  # the 4-byte file header every binlog starts with
 
@@ -1039,6 +1098,7 @@ def decode_mysql_events(
     registry: dict[int, TableMap] | None = None,
     column_overrides: dict[int, list[MysqlColumn]] | None = None,
     checksum: bool = False,
+    skip_invalid: bool = True,
 ) -> DataFrame:
     """Framed MySQL binlog events -> typed change records via mapInArrow.
 
@@ -1105,6 +1165,15 @@ def decode_mysql_events(
             log_pos = rb.column(1).to_numpy(zero_copy_only=False)
             if len(starts) == 0:
                 continue
+            if skip_invalid:
+                # corrupt frames dead-letter upstream (split_deadletter_mysql);
+                # here they are dropped so one bad frame can't abort the task
+                keep = validate_mysql_frames(data, starts, ends, checksum=checksum) == 0
+                if not keep.all():
+                    starts, ends = starts[keep], ends[keep]
+                    file_seq, log_pos = file_seq[keep], log_pos[keep]
+                if len(starts) == 0:
+                    continue
             headers = np.ascontiguousarray(
                 _gather_fixed(data, starts, HEADER_LEN)
             ).view(_HEADER_DT).reshape(len(starts))

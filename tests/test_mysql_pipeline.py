@@ -169,3 +169,52 @@ def test_mysql_stream_kill_and_restart(spark, tmp_path):
     t2 = LakeTable(spark, str(tmp_path / "clean"), buckets=16)
     apply_mysql_batch(t2, frames, batch_id=1, cfg=EngineConfig(), name_map=_name_map())
     assert _final(table.read()) == _final(t2.read())
+
+
+def test_mysql_frames_deadletter_and_resilient_decode(spark, tmp_path):
+    """Corrupt MySQL frames (truncation, bad length, flipped CRC) route to
+    the dead-letter branch with reason codes, and the decoder drops them
+    instead of aborting the task."""
+    from pyspark.sql import functions as F
+
+    from binlogsub_spark.mysql_binlog import (
+        decode_mysql_events,
+        extract_table_maps,
+        split_deadletter_mysql,
+    )
+    from binlogsub_spark.pipeline import override_columns_by_table, scope_registry
+    from binlogsub_spark.sources.generator import write_mysql_binlog
+
+    src = str(tmp_path / "m")
+    write_mysql_binlog(spark, src, GeneratorParams(n_events=2000, dup_tail=0), n_files=4)
+    raw = spark.read.parquet(src)
+    n = raw.count()
+    m = F.col("log_pos") % 40
+    corrupted = raw.withColumn(
+        "payload",
+        F.when(m == 4, F.expr("substring(payload, 1, 10)"))  # short_frame
+        .when(m == 12, F.expr("concat(payload, X'00')"))  # len_mismatch
+        # zero the CRC trailer: bad_crc (a real CRC is never 0 here)
+        .when(m == 20, F.expr(
+            "concat(substring(payload, 1, length(payload) - 4), X'00000000')"))
+        .otherwise(F.col("payload")),
+    )
+    valid, dead = split_deadletter_mysql(corrupted, checksum=True)
+    got = {r["_reason"]: r["n"] for r in dead.groupBy("_reason").agg(
+        F.count("*").alias("n")).collect()}
+    # control frames have log_pos 0 (m==0), data frames log_pos%40 in {4,12,20,28,36}
+    for reason, k in (("short_frame", 4), ("len_mismatch", 12), ("bad_crc", 20)):
+        want = corrupted.where(m == k).count()
+        assert got.get(reason, 0) == want > 0, (reason, got)
+    assert valid.count() + dead.count() == n
+
+    # decoder over the corrupted stream: survives, decodes only valid rows
+    reg = scope_registry(extract_table_maps(raw, checksum=True), EngineConfig())
+    from binlogsub_spark.sources.generator import transcripts_table_maps
+    nm = {}
+    for tm in transcripts_table_maps().values():
+        nm.setdefault((tm.db, tm.table), []).append(tm.columns)
+    ov = override_columns_by_table(reg, nm)
+    n_ok = decode_mysql_events(corrupted, reg, column_overrides=ov, checksum=True).count()
+    n_all = decode_mysql_events(raw, reg, column_overrides=ov, checksum=True).count()
+    assert 0 < n_ok < n_all
