@@ -127,6 +127,27 @@ def q_cdc_applied_skipped_metrics(spark, sf):
     )
 
 
+def q_cdc_asof_join(spark, sf):
+    """The as-of join operator (operators/asof.py — union + one window
+    pass, no pairwise join): each click gets the user's latest purchase
+    at-or-before it in (ts, event_id) order. The same op assigns GTIDs to
+    decoded rows in the MySQL path."""
+    from binlogsub_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.col("event_id").alias("last_purchase_event_id")
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        order_cols=["ts", "event_id"],
+        value_cols=["last_purchase_event_id"],
+        partition_cols=["user_id"],
+    )
+
+
 def q_cdc_props_json(spark, sf):
     """F-analog: semi-structured payload extraction (props JSON)."""
     ev = _t(spark, sf, "events")
@@ -681,6 +702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_schema_registry_join": q_cdc_schema_registry_join,
         "cdc_turn_ordering_window": q_cdc_turn_ordering_window,
         "cdc_applied_skipped_metrics": q_cdc_applied_skipped_metrics,
+        "cdc_asof_join": q_cdc_asof_join,
         "cdc_props_json": q_cdc_props_json,
         "cdc_pipeline_e2e": q_cdc_pipeline_e2e,
         "cdc_mysql_pipeline_e2e": q_cdc_mysql_pipeline_e2e,
@@ -761,6 +783,24 @@ def oracle_sql() -> dict[str, str]:
                    max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
                    CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
             FROM events GROUP BY event_type
+        """,
+        "cdc_asof_join": """
+            WITH u AS (
+              SELECT user_id, ts, event_id AS ord2, event_id,
+                     NULL::BIGINT AS p_ev, 1 AS side
+              FROM events WHERE event_type = 'click'
+              UNION ALL
+              SELECT user_id, ts, event_id, NULL, event_id, 0
+              FROM events WHERE event_type = 'purchase'
+            ),
+            f AS (
+              SELECT *, last_value(p_ev IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, ord2
+                       ROWS UNBOUNDED PRECEDING) AS last_p
+              FROM u
+            )
+            SELECT event_id, user_id, ts, last_p AS last_purchase_event_id
+            FROM f WHERE side = 1
         """,
         "cdc_raw_decode": f"""
             SELECT CAST(file_seq AS BIGINT) AS file_seq, log_pos, server_ts, op,

@@ -926,6 +926,90 @@ def encode_rows_df(
     return df.mapInArrow(_enc, schema=MYSQL_RAW_SCHEMA)
 
 
+# ------------------------------------------------------------------ GTID --
+GTID_LOG_EVENT = 33
+
+
+def encode_gtid(sid: bytes, gno: int, checksum: bool = False, **kw) -> bytes:
+    """GTID_LOG_EVENT: commit flag u8 + 16-byte source UUID + u64 LE
+    transaction number (the per-transaction identity of the north rule's
+    'GTID+log-position ordering')."""
+    assert len(sid) == 16
+    body = b"\x01" + sid + int(gno).to_bytes(8, "little")
+    return _finish_event(GTID_LOG_EVENT, body, checksum=checksum, **kw)
+
+
+def _uuid_strings(m: np.ndarray) -> np.ndarray:
+    """(n, 16) byte matrix -> canonical 8-4-4-4-12 uuid strings, fully
+    vectorized (hex LUT + one U36 view; no per-row Python)."""
+    hx = np.array(list("0123456789abcdef"), dtype="<U1")
+    chars = np.empty((len(m), 36), dtype="<U1")
+    chars[:, :] = "-"
+    out_pos = [p for p in range(36) if p not in (8, 13, 18, 23)]
+    hi, lo = hx[m >> 4], hx[m & 15]
+    for bi in range(16):
+        chars[:, out_pos[2 * bi]] = hi[:, bi]
+        chars[:, out_pos[2 * bi + 1]] = lo[:, bi]
+    return np.ascontiguousarray(chars).view("<U36").reshape(len(m))
+
+
+def extract_gtids(raw_df: DataFrame, checksum: bool = False) -> DataFrame:
+    """GTID control events -> (file_seq, log_pos, gtid) — distributed
+    (one GTID per transaction is NOT driver-collectable at 10^10 scale,
+    unlike the handful of table maps): JVM type-byte filter, then a
+    vectorized parse per Arrow batch."""
+    import pyarrow as pa
+
+    from binlogsub_spark.codec import _binary_buffers
+
+    schema = T.StructType(
+        [
+            T.StructField("file_seq", T.IntegerType()),
+            T.StructField("log_pos", T.LongType()),
+            T.StructField("gtid", T.StringType()),
+        ]
+    )
+    frames = raw_df.where(
+        F.expr(f"substring(payload, 5, 1) = X'{GTID_LOG_EVENT:02X}'")
+    )
+
+    def _parse(batches):
+        for rb in batches:
+            arr = rb.column(rb.schema.get_field_index("payload"))
+            starts, ends, data = _binary_buffers(arr)
+            if len(starts) == 0:
+                continue
+            sids = _gather_fixed(data, starts + HEADER_LEN + 1, 16)
+            gnos = _u_le(data, starts + HEADER_LEN + 17, 8).astype(np.int64)
+            uu = _uuid_strings(sids)
+            gtids = np.char.add(np.char.add(uu, ":"), gnos.astype("U20"))
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "file_seq": rb.column(0),
+                    "log_pos": rb.column(1),
+                    "gtid": pa.array(gtids),
+                }
+            )
+
+    return frames.mapInArrow(_parse, schema=schema)
+
+
+def assign_gtids(decoded: DataFrame, gtids: DataFrame) -> DataFrame:
+    """Tag each decoded row with its transaction's GTID: the last GTID
+    event at-or-before the row's (file_seq, log_pos) — an as-of join
+    partitioned by file_seq (transactions never span a rotate, so the
+    window sort is bounded per file)."""
+    from binlogsub_spark.operators.asof import asof_join
+
+    return asof_join(
+        decoded,
+        gtids,
+        order_cols=["log_pos"],
+        value_cols=["gtid"],
+        partition_cols=["file_seq"],
+    )
+
+
 # ------------------------------------------------------- frame validation --
 MYSQL_REASON_NAMES = np.array(["ok", "short_frame", "len_mismatch", "bad_crc"])
 
@@ -1068,6 +1152,7 @@ def demux_event_types(raw_df: DataFrame) -> DataFrame:
         .when(code == WRITE_ROWS_EVENT_V2, "write_rows")
         .when(code == UPDATE_ROWS_EVENT_V2, "update_rows")
         .when(code == DELETE_ROWS_EVENT_V2, "delete_rows")
+        .when(code == GTID_LOG_EVENT, "gtid")
         .otherwise("other")
     )
     return raw_df.groupBy(name.alias("event_type")).agg(
