@@ -127,6 +127,30 @@ def q_cdc_applied_skipped_metrics(spark, sf):
     )
 
 
+def q_cdc_windowed_metrics(spark, sf):
+    """Event-time tumbling-window rates (the streaming metrics layer's
+    aggregation shape, binlogsub_spark/streaming.py, run in batch form so
+    DuckDB can replay it — window boundaries are epoch-aligned in both
+    engines)."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.max("event_id").alias("last_event_id"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "user_id",
+            "n_events",
+            "n_types",
+            "last_event_id",
+        )
+    )
+
+
 def q_cdc_asof_join(spark, sf):
     """The as-of join operator (operators/asof.py — union + one window
     pass, no pairwise join): each click gets the user's latest purchase
@@ -702,6 +726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_schema_registry_join": q_cdc_schema_registry_join,
         "cdc_turn_ordering_window": q_cdc_turn_ordering_window,
         "cdc_applied_skipped_metrics": q_cdc_applied_skipped_metrics,
+        "cdc_windowed_metrics": q_cdc_windowed_metrics,
         "cdc_asof_join": q_cdc_asof_join,
         "cdc_props_json": q_cdc_props_json,
         "cdc_pipeline_e2e": q_cdc_pipeline_e2e,
@@ -783,6 +808,16 @@ def oracle_sql() -> dict[str, str]:
                    max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
                    CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
             FROM events GROUP BY event_type
+        """,
+        "cdc_windowed_metrics": """
+            SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+                   time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes'
+                       AS window_end,
+                   user_id, count(*) AS n_events,
+                   count(DISTINCT event_type) AS n_types,
+                   max(event_id) AS last_event_id
+            FROM events
+            GROUP BY 1, 2, 3
         """,
         "cdc_asof_join": """
             WITH u AS (
