@@ -246,8 +246,6 @@ def transcripts_table_maps():
         cols.append(MysqlColumn("ts", MYSQL_TYPE_DATETIME2, meta=6))
         return cols
 
-    from binlogsub_spark.mysql_binlog import TableMap as _TM  # noqa: F401
-
     return {
         11: TableMap(11, "test", "transcripts", _cols(False)),
         12: TableMap(12, "test", "transcripts", _cols(True)),
