@@ -476,7 +476,7 @@ def _mysql_flat_events(spark, sf):
         F.array_position(
             F.array(*[F.lit(s) for s in _ETYPE_ENUM]), F.col("event_type")
         ).cast("long").alias("etype"),
-        F.round("value", 4).alias("score"),
+        F.round("value", 4).cast("decimal(18,4)").alias("score"),
         "ts",
         F.when(k % 7 == 0, F.lit(None).cast("long")).otherwise(k % 100).alias("k"),
         "props",
@@ -502,7 +502,111 @@ def q_cdc_mysql_row_decode(spark, sf):
     decoded = decode_mysql_events(
         raw, registry, column_overrides={7: tmap.columns}, checksum=True
     )
-    return decoded.select("op", "id", "user_id", "etype", "score", "ts", "k", "props")
+    # score decodes as DecimalType(18,4) (exact scaled-int kernel); the
+    # driver compare goes through pandas where DuckDB lowers DECIMAL to
+    # float64, so the exactness check is the decimal's STRING form —
+    # every digit of the packed decimal compared, no float rounding.
+    return decoded.select(
+        "op", "id", "user_id", "etype",
+        F.col("score").cast("string").alias("score"),
+        "ts", "k", "props",
+    )
+
+
+_SET_MEMBERS = ("alpha", "beta", "gamma")
+
+
+def _mysql_matrix_tmap():
+    from binlogsub_spark.mysql_binlog import (
+        MYSQL_TYPE_BIT,
+        MYSQL_TYPE_DATETIME,
+        MYSQL_TYPE_LONGLONG,
+        MYSQL_TYPE_NEWDATE,
+        MYSQL_TYPE_NEWDECIMAL,
+        MYSQL_TYPE_SET,
+        MYSQL_TYPE_STRING,
+        MYSQL_TYPE_TIME,
+        MYSQL_TYPE_TIMESTAMP,
+        MysqlColumn,
+        TableMap,
+    )
+
+    return TableMap(
+        table_id=8,
+        db="test",
+        table="type_matrix",
+        columns=[
+            MysqlColumn("id", MYSQL_TYPE_LONGLONG, nullable=False),
+            MysqlColumn("d", MYSQL_TYPE_NEWDATE),
+            MysqlColumn(
+                "s", MYSQL_TYPE_STRING, meta=(MYSQL_TYPE_SET, 1),
+                set_values=_SET_MEMBERS,
+            ),
+            MysqlColumn("b", MYSQL_TYPE_BIT, meta=12),
+            MysqlColumn("c", MYSQL_TYPE_STRING, meta=(MYSQL_TYPE_STRING, 20)),
+            MysqlColumn("t1", MYSQL_TYPE_TIMESTAMP),
+            MysqlColumn("dt1", MYSQL_TYPE_DATETIME),
+            MysqlColumn("tm", MYSQL_TYPE_TIME),
+            MysqlColumn("wd", MYSQL_TYPE_NEWDECIMAL, meta=(30, 10)),
+        ],
+    )
+
+
+def q_cdc_mysql_type_matrix(spark, sf):
+    """The rest of the reference's ParseColumnValue type matrix
+    (event.cc:534-710), value-checked end to end: DATE/NEWDATE, SET
+    (bitmask -> member names), BIT, CHAR-under-STRING, temporal v1
+    (TIMESTAMP/DATETIME/TIME) and a wide DECIMAL(30,10) are packed into
+    genuine rows-event frames and decoded by the wave kernel. DATE and
+    DECIMAL compare via their STRING forms (exact to every digit; the
+    pandas bridge lowers DuckDB DECIMAL to lossy float64)."""
+    from binlogsub_spark.mysql_binlog import (
+        decode_mysql_events,
+        encode_rows_df,
+        extract_table_maps,
+    )
+
+    tmap = _mysql_matrix_tmap()
+    ev = _t(spark, sf, "events")
+    flat = ev.select(
+        F.col("event_id").alias("id"),
+        F.when(F.col("event_id") % 13 == 0, F.lit(None).cast("date"))
+        .otherwise(F.to_date("ts")).alias("d"),
+        F.when(F.col("user_id") % 10 == 0, F.lit(None).cast("long"))
+        .otherwise((F.col("user_id") % 8).cast("long")).alias("s"),
+        (F.col("event_id") % 4096).cast("long").alias("b"),
+        F.col("event_type").alias("c"),
+        F.unix_timestamp("ts").alias("t1"),
+        F.col("ts").alias("dt1"),
+        (
+            F.when(F.col("user_id") % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+            * (
+                (F.col("user_id") % 24) * 3600
+                + (F.col("event_id") % 60) * 60
+                + (F.col("event_id") % 7)
+            )
+        ).cast("long").alias("tm"),
+        F.expr(
+            "CAST(CONCAT(CAST(event_id AS STRING), '234567890.1234567891')"
+            " AS DECIMAL(30,10))"
+        ).alias("wd"),
+    )
+    raw = encode_rows_df(flat, tmap, rows_per_event=3, checksum=True)
+    registry = extract_table_maps(raw, checksum=True)
+    decoded = decode_mysql_events(
+        raw, registry, column_overrides={8: tmap.columns}, checksum=True
+    )
+    return decoded.select(
+        "id",
+        F.col("d").cast("string").alias("d"),
+        "s",
+        "b",
+        "c",
+        "t1",
+        "dt1",
+        "tm",
+        F.col("wd").cast("string").alias("wd"),
+    )
 
 
 # --------------------------------------------------------------- engine e2e
@@ -732,6 +836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_pipeline_e2e": q_cdc_pipeline_e2e,
         "cdc_mysql_pipeline_e2e": q_cdc_mysql_pipeline_e2e,
         "cdc_mysql_row_decode": q_cdc_mysql_row_decode,
+        "cdc_mysql_type_matrix": q_cdc_mysql_type_matrix,
         "cdc_raw_decode": q_cdc_raw_decode,
         "cdc_deadletter_demux": q_cdc_deadletter_demux,
         "dedup_exact": q_dedup_exact,
@@ -884,12 +989,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cdc_mysql_row_decode": """
             SELECT 'I' AS op, event_id AS id, user_id, event_type AS etype,
-                   round(value, 4) AS score, ts,
+                   CAST(CAST(round(value, 4) AS DECIMAL(18,4)) AS VARCHAR) AS score, ts,
                    CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 = 0
                         THEN NULL
                         ELSE CAST(json_extract_string(props, '$.k') AS BIGINT) % 100
                    END AS k,
                    props
+            FROM events
+        """,
+        "cdc_mysql_type_matrix": """
+            SELECT event_id AS id,
+                   CASE WHEN event_id % 13 = 0 THEN NULL
+                        ELSE CAST(CAST(ts AS DATE) AS VARCHAR) END AS d,
+                   CASE WHEN user_id % 10 = 0 THEN NULL ELSE
+                     CASE CAST(user_id % 8 AS INT)
+                       WHEN 0 THEN '' WHEN 1 THEN 'alpha' WHEN 2 THEN 'beta'
+                       WHEN 3 THEN 'alpha,beta' WHEN 4 THEN 'gamma'
+                       WHEN 5 THEN 'alpha,gamma' WHEN 6 THEN 'beta,gamma'
+                       ELSE 'alpha,beta,gamma' END END AS s,
+                   event_id % 4096 AS b,
+                   event_type AS c,
+                   date_trunc('second', ts) AS t1,
+                   date_trunc('second', ts) AS dt1,
+                   (CASE WHEN user_id % 2 = 0 THEN 1 ELSE -1 END)
+                     * ((user_id % 24) * 3600 + (event_id % 60) * 60
+                        + (event_id % 7)) * 1000000 AS tm,
+                   CAST(CAST(CONCAT(CAST(event_id AS VARCHAR),
+                        '234567890.1234567891') AS DECIMAL(30,10)) AS VARCHAR) AS wd
             FROM events
         """,
         "dedup_exact": f"""

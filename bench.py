@@ -146,20 +146,36 @@ def run_bench(sf_dir: str, cpus: int, ingest_events: int | None = None) -> dict:
             extract_table_maps,
         )
 
+        from pyspark.sql import functions as F
+
         tmap = entry._mysql_events_tmap()
         mysql_src = os.path.join(tmp, "mysqllog")
+        # 8x-replicated input (distinct ids per replica): at 1x the job is
+        # dominated by fixed Spark job overhead (~0.5 s) and measures the
+        # scheduler, not the decoder; 8x amortizes it so the number reflects
+        # the per-event cost that matters at 10^10 events. Best-of-2 like
+        # the other components (noisy host).
+        flat = entry._mysql_flat_events(spark, sf_dir)
+        reps = spark.range(8).select(F.col("id").alias("rep"))
+        flat8 = (
+            flat.crossJoin(reps)
+            .withColumn("id", F.col("id") + F.col("rep") * 10_000_000)
+            .drop("rep")
+        )
         encode_rows_df(
-            entry._mysql_flat_events(spark, sf_dir), tmap, rows_per_event=4,
-            checksum=True,
+            flat8.repartition(cpus), tmap, rows_per_event=4, checksum=True
         ).write.mode("overwrite").parquet(mysql_src)
         mframes = spark.read.parquet(mysql_src)
         mframes.count()
-        t0 = time.time()
-        registry = extract_table_maps(mframes, checksum=True)
-        mysql_rows = decode_mysql_events(
-            mframes, registry, column_overrides={7: tmap.columns}, checksum=True
-        ).count()
-        mysql_sec = time.time() - t0
+        mysql_sec, mysql_rows = None, 0
+        for _ in range(2):
+            t0 = time.time()
+            registry = extract_table_maps(mframes, checksum=True)
+            mysql_rows = decode_mysql_events(
+                mframes, registry, column_overrides={7: tmap.columns}, checksum=True
+            ).count()
+            dt = time.time() - t0
+            mysql_sec = dt if mysql_sec is None else min(mysql_sec, dt)
         timings["cdc_mysql_row_decode"] = round(mysql_sec, 3)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

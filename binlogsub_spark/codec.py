@@ -272,6 +272,12 @@ def _decode_group_arrow(
     out_off = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(text_lens, out=out_off[1:])
     total = int(out_off[-1])
+    if total > np.iinfo(np.int32).max:
+        # int32 Arrow offsets would silently wrap into corrupt slices
+        raise ValueError(
+            f"{total} text bytes in one Arrow batch exceeds the 2 GiB "
+            "int32-offset limit; lower spark.sql.execution.arrow.maxRecordsPerBatch"
+        )
     idx = np.repeat(starts + hl, text_lens) + (
         np.arange(total, dtype=np.int64) - np.repeat(out_off[:-1], text_lens)
     )

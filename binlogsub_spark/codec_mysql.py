@@ -41,7 +41,7 @@ def decimal_to_bin(value: Decimal, precision: int, scale: int) -> bytes:
     import decimal as _d
 
     sign = value < 0
-    value = -value if sign else value
+    value = value.copy_abs()  # context-free: unary minus rounds to 28 digits
     q = value.quantize(Decimal(1).scaleb(-scale), context=_d.Context(prec=80))
     s = f"{q:.{scale}f}"
     int_part, _, frac_part = s.partition(".")
@@ -207,7 +207,7 @@ def bin_to_decimal_batch(
 ) -> np.ndarray:
     """Arrow-batch wrapper (object array of bytes -> object array of
     Decimal). precision <= 18 routes through the fully vectorized kernel
-    the hot decode path uses (mysql_binlog._decode_newdecimal_vec on one
+    the hot decode path uses (mysql_binlog._decode_newdecimal_scaled on one
     contiguous buffer); wider decimals fall back to the scalar truth."""
     from decimal import Decimal
 

@@ -73,15 +73,23 @@ MYSQL_TYPE_SHORT = 2
 MYSQL_TYPE_LONG = 3
 MYSQL_TYPE_FLOAT = 4
 MYSQL_TYPE_DOUBLE = 5
+MYSQL_TYPE_TIMESTAMP = 7  # pre-5.6 temporal v1 (event.cc:534-541)
 MYSQL_TYPE_LONGLONG = 8
 MYSQL_TYPE_INT24 = 9
+MYSQL_TYPE_DATE = 10  # v1 date (event.cc:590-598)
+MYSQL_TYPE_TIME = 11  # v1 time (event.cc:555-562)
+MYSQL_TYPE_DATETIME = 12  # v1 datetime (event.cc:542-554)
 MYSQL_TYPE_YEAR = 13
+MYSQL_TYPE_NEWDATE = 14  # row-image storage type of DATE (event.cc:563-589)
 MYSQL_TYPE_VARCHAR = 15
+MYSQL_TYPE_BIT = 16  # event.cc:703-710
 MYSQL_TYPE_TIMESTAMP2 = 17
 MYSQL_TYPE_DATETIME2 = 18
 MYSQL_TYPE_TIME2 = 19
+MYSQL_TYPE_JSON = 245  # binary JSON: NOT decoded — dead-letters (unsupported)
 MYSQL_TYPE_NEWDECIMAL = 246
 MYSQL_TYPE_ENUM = 247  # appears only inside STRING metadata
+MYSQL_TYPE_SET = 248  # appears only inside STRING metadata (event.cc:607-636)
 MYSQL_TYPE_BLOB = 252
 MYSQL_TYPE_VAR_STRING = 253
 MYSQL_TYPE_STRING = 254
@@ -107,34 +115,79 @@ _INT_WIDTH = {
 }
 
 
+def _string_meta_decode(b0: int, b1: int) -> tuple[int, int]:
+    """Raw 2-byte STRING metadata -> logical (real_type, length):
+    ENUM/SET carry (real_type, pack_size) verbatim; CHAR packs lengths
+    > 255 into the upper bits of byte0 (the public table-map encoding;
+    the reference reads only the short form, event.cc:607-620)."""
+    if b0 in (MYSQL_TYPE_ENUM, MYSQL_TYPE_SET):
+        return b0, b1
+    if b0 & 0x30 != 0x30:  # long CHAR: length 256..1023
+        return b0 | 0x30, b1 + (((b0 & 0x30) ^ 0x30) << 4)
+    return b0, b1
+
+
+def _string_meta_encode(real: int, length: int) -> bytes:
+    """Inverse of _string_meta_decode (fixture encoder side)."""
+    if real in (MYSQL_TYPE_ENUM, MYSQL_TYPE_SET):
+        return bytes([real, length])
+    if length > 1023:
+        raise ValueError(f"CHAR byte length {length} exceeds the 1023 wire limit")
+    b0 = (real & ~0x30) | (0x30 ^ ((length >> 4) & 0x30))
+    return bytes([b0, length & 0xFF])
+
+
 @dataclass(frozen=True)
 class MysqlColumn:
     """One column of a table-map: MySQL wire type + metadata + decode hints.
 
     ``enum_values`` (1-based, like MySQL ENUM) turns decoded enum codes into
-    strings — the F6 code-table disambiguation (event.cc:607-636)."""
+    strings — the F6 code-table disambiguation (event.cc:607-636);
+    ``set_values`` does the same for SET bitmasks (bit i -> member i,
+    joined with ','). For STRING columns ``meta`` is the LOGICAL
+    (real_type, length) pair; for BIT it is the total bit count."""
 
     name: str
     ctype: int
     meta: tuple | int | None = None
     nullable: bool = True
     enum_values: tuple[str, ...] | None = None
+    set_values: tuple[str, ...] | None = None
 
     def spark_type(self) -> T.DataType:
         c = self.ctype
-        if c in _INT_WIDTH or c == MYSQL_TYPE_YEAR:
+        if c in _INT_WIDTH or c in (MYSQL_TYPE_YEAR, MYSQL_TYPE_BIT):
             return T.LongType()
-        if c in (MYSQL_TYPE_FLOAT, MYSQL_TYPE_DOUBLE, MYSQL_TYPE_NEWDECIMAL):
+        if c in (MYSQL_TYPE_FLOAT, MYSQL_TYPE_DOUBLE):
             return T.DoubleType()
+        if c == MYSQL_TYPE_NEWDECIMAL:
+            prec, scale = self.meta
+            if prec > 38:
+                raise ValueError(
+                    f"DECIMAL({prec},{scale}) exceeds Spark's 38-digit cap"
+                )
+            return T.DecimalType(prec, scale)
         if c in (MYSQL_TYPE_VARCHAR, MYSQL_TYPE_VAR_STRING):
             return T.StringType()
         if c == MYSQL_TYPE_BLOB:
             return T.BinaryType()
         if c == MYSQL_TYPE_STRING:
-            return T.StringType() if self.enum_values else T.LongType()
-        if c in (MYSQL_TYPE_DATETIME2, MYSQL_TYPE_TIMESTAMP2):
+            real, _ = self.meta
+            if real == MYSQL_TYPE_ENUM:
+                return T.StringType() if self.enum_values else T.LongType()
+            if real == MYSQL_TYPE_SET:
+                return T.StringType() if self.set_values else T.LongType()
+            return T.StringType()  # CHAR
+        if c in (
+            MYSQL_TYPE_DATETIME2,
+            MYSQL_TYPE_TIMESTAMP2,
+            MYSQL_TYPE_DATETIME,
+            MYSQL_TYPE_TIMESTAMP,
+        ):
             return T.TimestampType()
-        if c == MYSQL_TYPE_TIME2:
+        if c in (MYSQL_TYPE_DATE, MYSQL_TYPE_NEWDATE):
+            return T.DateType()
+        if c in (MYSQL_TYPE_TIME2, MYSQL_TYPE_TIME):
             return T.LongType()  # signed microseconds
         raise ValueError(f"unsupported column type {c}")
 
@@ -175,9 +228,9 @@ def _col_meta_bytes(col: MysqlColumn) -> bytes:
     c = col.ctype
     if c in (MYSQL_TYPE_VARCHAR, MYSQL_TYPE_VAR_STRING):
         return struct.pack("<H", int(col.meta))
-    if c == MYSQL_TYPE_STRING:  # ENUM/SET carried as (real_type, pack_size)
+    if c == MYSQL_TYPE_STRING:  # ENUM/SET/CHAR carried as 2 packed bytes
         real, size = col.meta
-        return bytes([real, size])
+        return _string_meta_encode(real, size)
     if c == MYSQL_TYPE_NEWDECIMAL:
         prec, scale = col.meta
         return bytes([prec, scale])
@@ -187,7 +240,10 @@ def _col_meta_bytes(col: MysqlColumn) -> bytes:
         return bytes([4 if c == MYSQL_TYPE_FLOAT else 8])
     if c == MYSQL_TYPE_BLOB:
         return bytes([int(col.meta or 2)])
-    return b""
+    if c == MYSQL_TYPE_BIT:  # Field_bit metadata: (bits % 8, bits // 8)
+        nbits = int(col.meta)
+        return bytes([nbits % 8, nbits // 8])
+    return b""  # DATE/NEWDATE/TIME/DATETIME/TIMESTAMP v1: no metadata
 
 
 def _lenenc(v: int) -> bytes:
@@ -241,10 +297,34 @@ def _encode_value(col: MysqlColumn, v) -> bytes:
     if c == MYSQL_TYPE_BLOB:
         b = bytes(v)
         return len(b).to_bytes(int(col.meta or 2), "little") + b
-    if c == MYSQL_TYPE_STRING:  # ENUM code
+    if c == MYSQL_TYPE_STRING:  # ENUM code / SET bitmask / CHAR text
         real, size = col.meta
-        assert real == MYSQL_TYPE_ENUM
-        return int(v).to_bytes(size, "little")
+        if real in (MYSQL_TYPE_ENUM, MYSQL_TYPE_SET):
+            return int(v).to_bytes(size, "little")
+        b = v.encode() if isinstance(v, str) else bytes(v)
+        lp = 1 if size < 256 else 2
+        return len(b).to_bytes(lp, "little") + b
+    if c in (MYSQL_TYPE_DATE, MYSQL_TYPE_NEWDATE):  # date -> 3-byte packed
+        return ((v.year << 9) | (v.month << 5) | v.day).to_bytes(3, "little")
+    if c == MYSQL_TYPE_TIMESTAMP:  # v1: epoch seconds u32 LE
+        return int(v).to_bytes(4, "little")
+    if c == MYSQL_TYPE_DATETIME:  # v1: YYYYMMDDHHMMSS u64 LE
+        n = (
+            (v.year * 10000 + v.month * 100 + v.day) * 1_000_000
+            + v.hour * 10000 + v.minute * 100 + v.second
+        )
+        return n.to_bytes(8, "little")
+    if c == MYSQL_TYPE_TIME:  # v1: signed HHMMSS packed, 3-byte LE
+        if isinstance(v, tuple):
+            sign, h, mi, s = v
+        else:  # signed total seconds
+            t = int(v)
+            sign, t = (-1 if t < 0 else 1), abs(t)
+            h, mi, s = t // 3600, (t // 60) % 60, t % 60
+        return (sign * (h * 10000 + mi * 100 + s)).to_bytes(3, "little", signed=True)
+    if c == MYSQL_TYPE_BIT:  # big-endian, ceil(nbits/8) bytes
+        nb = (int(col.meta) + 7) // 8
+        return int(v).to_bytes(nb, "big")
     if c == MYSQL_TYPE_NEWDECIMAL:
         from decimal import Decimal
 
@@ -427,10 +507,13 @@ def parse_table_map(frame: bytes, checksum: bool = False) -> TableMap:
             meta = int.from_bytes(body[pos : pos + 2], "little")
             pos += 2
         elif ct == MYSQL_TYPE_STRING:
-            meta = (body[pos], body[pos + 1])
+            meta = _string_meta_decode(body[pos], body[pos + 1])
             pos += 2
         elif ct == MYSQL_TYPE_NEWDECIMAL:
             meta = (body[pos], body[pos + 1])
+            pos += 2
+        elif ct == MYSQL_TYPE_BIT:  # (bits % 8, bits // 8) -> total bits
+            meta = body[pos + 1] * 8 + body[pos]
             pos += 2
         elif ct in (MYSQL_TYPE_DATETIME2, MYSQL_TYPE_TIMESTAMP2, MYSQL_TYPE_TIME2):
             meta = body[pos]
@@ -439,7 +522,8 @@ def parse_table_map(frame: bytes, checksum: bool = False) -> TableMap:
             meta = body[pos]
             pos += 1
         cols.append(MysqlColumn(name=f"col{i}", ctype=ct, meta=meta))
-    assert pos == meta_end, "table-map metadata block length mismatch"
+    if pos != meta_end:  # a raise, not assert: must survive python -O
+        raise ValueError("table-map metadata block length mismatch")
     null_bits = body[pos : pos + (ncols + 7) // 8]
     cols = [
         MysqlColumn(
@@ -529,13 +613,33 @@ def _decode_newdecimal_scaled(
     return np.where(positive, scaled, -scaled), size
 
 
-def _decode_newdecimal_vec(
+def _decode_newdecimal_wide(
     data: np.ndarray, pos: np.ndarray, prec: int, scale: int
 ) -> tuple[np.ndarray, int]:
-    """float64 view of the exact scaled decode (the DoubleType output
-    column of the decoder; exact for <= 15 significant digits)."""
-    scaled, size = _decode_newdecimal_scaled(data, pos, prec, scale)
-    return scaled.astype(np.float64) / (10.0**scale), size
+    """Wide packed-decimal decode (precision 19..38) -> object array of
+    EXACT scaled Python ints (arbitrary precision): same group walk as the
+    int64 kernel but accumulating through object arithmetic — the rare-type
+    fallback that keeps 30-digit decimals exact instead of aborting
+    (parity with bin2decimal's full 65-digit range, mydecimal.cc:33-131,
+    capped at Spark's DecimalType(38) ceiling)."""
+    size = decimal_bin_size(prec, scale)
+    m = _gather_fixed(data, pos, size).astype(np.uint8).copy()
+    positive = (m[:, 0] & 0x80) != 0
+    m[:, 0] ^= 0x80
+    m[~positive] ^= 0xFF
+    scaled = np.zeros(len(pos), dtype=object)
+    off = 0
+    for nbytes, ndigits in _decimal_layout(prec, scale):
+        g = np.zeros(len(pos), dtype=np.int64)
+        for b in range(nbytes):
+            g = (g << 8) | m[:, off + b].astype(np.int64)
+        # g must become PYTHON ints before the object-array add: numpy
+        # coerces object+int64 through float64, silently rounding >2^53
+        scaled = scaled * (10**ndigits) + np.array(g.tolist(), dtype=object)
+        off += nbytes
+    neg = np.flatnonzero(~positive)
+    scaled[neg] = [-int(x) for x in scaled[neg]]
+    return scaled, size
 
 
 class _VarlenAcc:
@@ -591,17 +695,46 @@ def _read_column_values(
         lp = int(col.meta or 2)
         lens = _u_le(data, p, lp).astype(np.int64)
         return ("varlen", p + lp, lens), lens + lp
-    if c == MYSQL_TYPE_STRING:  # ENUM code (event.cc:607-636)
+    if c == MYSQL_TYPE_STRING:  # ENUM/SET codes or CHAR text (event.cc:607-636)
         real, size = col.meta
-        assert real == MYSQL_TYPE_ENUM, "only ENUM-under-STRING is supported"
-        return (
-            _u_le(data, p, size).astype(np.int64),
-            np.full(len(p), size, dtype=np.int64),
-        )
+        if real in (MYSQL_TYPE_ENUM, MYSQL_TYPE_SET):
+            return (
+                _u_le(data, p, size).astype(np.int64),
+                np.full(len(p), size, dtype=np.int64),
+            )
+        lp = 1 if size < 256 else 2  # CHAR: length-prefixed like VARCHAR
+        lens = _u_le(data, p, lp).astype(np.int64)
+        return ("varlen", p + lp, lens), lens + lp
     if c == MYSQL_TYPE_NEWDECIMAL:
         prec, scale = col.meta
-        vals, size = _decode_newdecimal_vec(data, p, prec, scale)
+        decode = _decode_newdecimal_scaled if prec <= 18 else _decode_newdecimal_wide
+        vals, size = decode(data, p, prec, scale)
         return vals, np.full(len(p), size, dtype=np.int64)
+    if c in (MYSQL_TYPE_DATE, MYSQL_TYPE_NEWDATE):
+        # 3-byte packed (year << 9 | month << 5 | day), event.cc:563-598
+        v = _u_le(data, p, 3).astype(np.int64)
+        days = _days_from_civil(v >> 9, (v >> 5) & 15, v & 31)
+        return days, np.full(len(p), 3, dtype=np.int64)
+    if c == MYSQL_TYPE_TIMESTAMP:  # v1: u32 LE epoch seconds (event.cc:534-541)
+        secs = _u_le(data, p, 4).astype(np.int64)
+        return secs * 1_000_000, np.full(len(p), 4, dtype=np.int64)
+    if c == MYSQL_TYPE_DATETIME:  # v1: u64 LE YYYYMMDDHHMMSS (event.cc:542-554)
+        v = _u_le(data, p, 8).astype(np.int64)
+        d, t = v // 1_000_000, v % 1_000_000
+        days = _days_from_civil(d // 10000, (d // 100) % 100, d % 100)
+        secs = (t // 10000) * 3600 + ((t // 100) % 100) * 60 + t % 100
+        return (days * 86400 + secs) * 1_000_000, np.full(len(p), 8, dtype=np.int64)
+    if c == MYSQL_TYPE_TIME:
+        # v1: SIGNED 3-byte LE HHMMSS pack (sint3korr in MySQL; the
+        # reference reads it unsigned, event.cc:555-562 — a negative-TIME
+        # bug there; we follow the server) -> signed microseconds
+        v = _signed(_u_le(data, p, 3), 3)
+        av = np.abs(v)
+        us = ((av // 10000) * 3600 + ((av // 100) % 100) * 60 + av % 100) * 1_000_000
+        return np.where(v < 0, -us, us), np.full(len(p), 3, dtype=np.int64)
+    if c == MYSQL_TYPE_BIT:  # big-endian bit field (event.cc:703-710)
+        nb = (int(col.meta) + 7) // 8
+        return _u_be(data, p, nb).astype(np.int64), np.full(len(p), nb, dtype=np.int64)
     if c == MYSQL_TYPE_DATETIME2:
         fsp = int(col.meta or 0)
         nb = (fsp + 1) // 2
@@ -643,6 +776,24 @@ def _read_column_values(
         ) * 1_000_000 + (frac * 10 ** (6 - 2 * nb) if nb else 0)
         return np.where(neg, -total_us, total_us), np.full(len(p), 3 + nb, dtype=np.int64)
     raise ValueError(f"unsupported decode type {c}")
+
+
+def _is_varlen(col: MysqlColumn) -> bool:
+    """Columns whose row-image encoding is length-prefixed bytes."""
+    if col.ctype in (MYSQL_TYPE_VARCHAR, MYSQL_TYPE_VAR_STRING, MYSQL_TYPE_BLOB):
+        return True
+    if col.ctype == MYSQL_TYPE_STRING:
+        return col.meta[0] not in (MYSQL_TYPE_ENUM, MYSQL_TYPE_SET)  # CHAR
+    return False
+
+
+def _fixed_dtype(col: MysqlColumn):
+    """numpy accumulator dtype for a fixed-width column's decoded values."""
+    if col.ctype in (MYSQL_TYPE_FLOAT, MYSQL_TYPE_DOUBLE):
+        return np.float64
+    if col.ctype == MYSQL_TYPE_NEWDECIMAL and col.meta[0] > 18:
+        return object  # exact scaled Python ints (wide decimals)
+    return np.int64
 
 
 def _bit_matrix(data: np.ndarray, pos: np.ndarray, nbytes: int, nbits: int) -> np.ndarray:
@@ -716,12 +867,7 @@ def decode_rows_frames(
     # accumulators (per wave-image, appended in lockstep with frame_idx)
     frame_idx_waves: list[np.ndarray] = []
     col_waves: dict[int, list] = {ci: [] for ci in present_cols}  # (nulls, values)
-    varlen_cols = {
-        ci
-        for ci in present_cols
-        if tmap.columns[ci].ctype
-        in (MYSQL_TYPE_VARCHAR, MYSQL_TYPE_VAR_STRING, MYSQL_TYPE_BLOB)
-    }
+    varlen_cols = {ci for ci in present_cols if _is_varlen(tmap.columns[ci])}
     varlen_acc: dict[int, _VarlenAcc] = {ci: _VarlenAcc() for ci in varlen_cols}
 
     pos = pos.astype(np.int64).copy()
@@ -794,8 +940,7 @@ def decode_rows_frames(
             )
             out[col.name] = ("varlen", buf, lens, nulls)
             continue
-        dtype = np.float64 if isinstance(col.spark_type(), T.DoubleType) else np.int64
-        vals_full = np.zeros(n_rows, dtype=dtype)
+        vals_full = np.zeros(n_rows, dtype=_fixed_dtype(col))
         off = 0
         for wave_nulls, wave_vals in waves:
             k = len(wave_nulls)
@@ -854,10 +999,20 @@ def encode_rows_df(
             elif c.ctype == MYSQL_TYPE_NEWDECIMAL:
                 from decimal import Decimal
 
-                row.append(Decimal(str(v)))
-            elif c.ctype == MYSQL_TYPE_DATETIME2:
+                row.append(v if isinstance(v, Decimal) else Decimal(str(v)))
+            elif c.ctype in (MYSQL_TYPE_DATETIME2, MYSQL_TYPE_DATETIME):
                 row.append(pd.Timestamp(v).to_pydatetime())
-            elif c.ctype in _INT_WIDTH or c.ctype == MYSQL_TYPE_STRING:
+            elif c.ctype == MYSQL_TYPE_STRING:
+                real, _ = c.meta
+                row.append(
+                    int(v) if real in (MYSQL_TYPE_ENUM, MYSQL_TYPE_SET) else v
+                )
+            elif c.ctype in _INT_WIDTH or c.ctype in (
+                MYSQL_TYPE_BIT,
+                MYSQL_TYPE_TIMESTAMP,
+                MYSQL_TYPE_TIME,
+                MYSQL_TYPE_YEAR,
+            ):
                 row.append(int(v))
             else:
                 row.append(v)
@@ -1013,15 +1168,48 @@ def assign_gtids(decoded: DataFrame, gtids: DataFrame) -> DataFrame:
 # ------------------------------------------------------- frame validation --
 MYSQL_REASON_NAMES = np.array(["ok", "short_frame", "len_mismatch", "bad_crc"])
 
+def crc32_frames(data: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """CRC32 of n variable-length frames over ONE contiguous buffer.
+
+    Implementation note (measured, round 3): a fully-vectorized numpy
+    slicing-by-8 wave kernel was built and benchmarked at 2.6-12.5 us/frame
+    for 20-600-byte frames — zlib's C inner loop over zero-copy memoryview
+    slices runs the same workload at ~0.3 us/frame (3 GB/s), so the "loop"
+    below is the FASTER implementation: the per-frame cost is one C call
+    on a no-copy buffer slice, with offsets pre-converted to Python ints in
+    bulk (the round-2 version paid np-scalar indexing + a bytes copy per
+    frame). More importantly the hot decode path no longer calls this at
+    all — the reference itself never verifies CRC, it only strips the
+    trailer (/root/reference/packet.cc:117-119); verification lives in the
+    dead-letter demux."""
+    n = len(starts)
+    out = np.empty(n, dtype=np.uint32)
+    if n == 0:
+        return out
+    mv = memoryview(data)
+    crc = zlib.crc32
+    out[:] = [
+        crc(mv[s:e]) for s, e in zip(starts.tolist(), (starts + lens).tolist())
+    ]
+    return out
+
 
 def validate_mysql_frames(
-    data: np.ndarray, starts: np.ndarray, ends: np.ndarray, checksum: bool = False
+    data: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    checksum: bool = False,
+    verify_crc: bool = True,
 ) -> np.ndarray:
     """Per-frame reason codes (0 = ok): header-length sanity, the event's
     own event_len against the frame's actual size, and (when checksums are
-    on) CRC32 over header+body — the engine-side analog of the server's
-    checksum verification; a corrupt frame must dead-letter, never abort
-    the stream (same contract as codec.validate_reasons)."""
+    on AND ``verify_crc``) CRC32 over header+body — the engine-side analog
+    of the server's checksum verification; a corrupt frame must
+    dead-letter, never abort the stream (same contract as
+    codec.validate_reasons). The decode hot path passes
+    ``verify_crc=False`` and relies on the length checks (parity with the
+    reference, which only strips the trailer, packet.cc:117-119); the
+    demux (split_deadletter_mysql) verifies fully."""
     n = len(starts)
     lens = ends - starts
     reasons = np.zeros(n, dtype=np.uint8)
@@ -1030,13 +1218,12 @@ def validate_mysql_frames(
     if len(ok):
         event_len = _u_le(data, starts[ok] + 9, 4).astype(np.int64)
         reasons[ok[event_len != lens[ok]]] = 2  # len_mismatch
-    if checksum:
-        for i in np.flatnonzero(reasons == 0):
-            s, e = int(starts[i]), int(ends[i])
-            if zlib.crc32(data[s : e - 4]) != int(
-                _u_le(data, np.array([e - 4]), 4)[0]
-            ):
-                reasons[i] = 3  # bad_crc
+    if checksum and verify_crc:
+        ok = np.flatnonzero(reasons == 0)
+        if len(ok):
+            got = crc32_frames(data, starts[ok], lens[ok] - 4)
+            want = _u_le(data, ends[ok] - 4, 4).astype(np.uint32)
+            reasons[ok[got != want]] = 3  # bad_crc
     return reasons
 
 
@@ -1204,8 +1391,17 @@ def decode_mysql_events(
     if registry is None:
         registry = extract_table_maps(raw_df, checksum=checksum)
     if column_overrides:
-        for tid, cols in column_overrides.items():
-            registry[tid].columns = cols
+        # overrides apply to COPIES: the caller's registry may be shared
+        # across micro-batches (the table-map cache), mutating it in place
+        # would leak one batch's name map into every later batch
+        registry = {
+            tid: (
+                TableMap(tm.table_id, tm.db, tm.table, list(column_overrides[tid]))
+                if tid in column_overrides
+                else tm
+            )
+            for tid, tm in registry.items()
+        }
     union_cols: list[MysqlColumn] = []
     seen: dict[str, MysqlColumn] = {}
     for tm in registry.values():
@@ -1227,7 +1423,11 @@ def decode_mysql_events(
         + [T.StructField(c.name, c.spark_type()) for c in union_cols]
     )
 
-    def _pa_nulls(count: int, stype: T.DataType):
+    def _pa_type(stype: T.DataType):
+        if isinstance(stype, T.DecimalType):
+            return pa.decimal128(stype.precision, stype.scale)
+        if isinstance(stype, T.DateType):
+            return pa.date32()
         mapping = {
             T.LongType(): pa.int64(),
             T.DoubleType(): pa.float64(),
@@ -1235,7 +1435,10 @@ def decode_mysql_events(
             T.BinaryType(): pa.binary(),
             T.TimestampType(): pa.timestamp("us"),
         }
-        return pa.nulls(count, mapping[stype])
+        return mapping[stype]
+
+    def _pa_nulls(count: int, stype: T.DataType):
+        return pa.nulls(count, _pa_type(stype))
     spark = raw_df.sparkSession
     b_registry = spark.sparkContext.broadcast(registry)
 
@@ -1251,9 +1454,17 @@ def decode_mysql_events(
             if len(starts) == 0:
                 continue
             if skip_invalid:
-                # corrupt frames dead-letter upstream (split_deadletter_mysql);
-                # here they are dropped so one bad frame can't abort the task
-                keep = validate_mysql_frames(data, starts, ends, checksum=checksum) == 0
+                # corrupt frames dead-letter upstream (split_deadletter_mysql,
+                # which DOES verify CRC); here they are dropped on the cheap
+                # length checks only so one bad frame can't abort the task —
+                # the hot path never pays per-frame CRC (the reference only
+                # strips the trailer, packet.cc:117-119)
+                keep = (
+                    validate_mysql_frames(
+                        data, starts, ends, checksum=checksum, verify_crc=False
+                    )
+                    == 0
+                )
                 if not keep.all():
                     starts, ends = starts[keep], ends[keep]
                     file_seq, log_pos = file_seq[keep], log_pos[keep]
@@ -1298,6 +1509,17 @@ def decode_mysql_events(
                         _, buf, lens, nulls = packed
                         off = np.zeros(n_rows + 1, dtype=np.int64)
                         np.cumsum(lens, out=off[1:])
+                        if int(off[-1]) > np.iinfo(np.int32).max:
+                            # int32 Arrow offsets would silently wrap into
+                            # corrupt slices; a >2 GiB varlen column in ONE
+                            # batch means maxRecordsPerBatch is set far too
+                            # high for the payload — refuse loudly.
+                            raise ValueError(
+                                f"column {c.name!r}: {int(off[-1])} varlen bytes "
+                                "in one Arrow batch exceeds the 2 GiB int32-"
+                                "offset limit; lower spark.sql.execution."
+                                "arrow.maxRecordsPerBatch"
+                            )
                         atype = (
                             pa.binary() if c.ctype == MYSQL_TYPE_BLOB else pa.string()
                         )
@@ -1313,10 +1535,53 @@ def decode_mysql_events(
                         continue
                     vals, nulls = packed
                     mask = nulls if nulls.any() else None
-                    if c.ctype in (MYSQL_TYPE_DATETIME2, MYSQL_TYPE_TIMESTAMP2):
+                    if c.ctype in (
+                        MYSQL_TYPE_DATETIME2,
+                        MYSQL_TYPE_TIMESTAMP2,
+                        MYSQL_TYPE_DATETIME,
+                        MYSQL_TYPE_TIMESTAMP,
+                    ):
                         cols_out[c.name] = pa.array(
                             vals, type=pa.timestamp("us"), mask=mask
                         )
+                    elif c.ctype in (MYSQL_TYPE_DATE, MYSQL_TYPE_NEWDATE):
+                        cols_out[c.name] = pa.array(
+                            vals.astype(np.int32), type=pa.date32(), mask=mask
+                        )
+                    elif c.ctype == MYSQL_TYPE_NEWDECIMAL:
+                        prec, scale = c.meta
+                        dtype_dec = pa.decimal128(prec, scale)
+                        if vals.dtype == object:  # wide: exact Python ints
+                            from decimal import Context, Decimal
+
+                            # scaleb under an explicit 38-digit context: the
+                            # DEFAULT context rounds to 28 significant digits
+                            ctx = Context(prec=38)
+                            cols_out[c.name] = pa.array(
+                                [
+                                    None
+                                    if nz
+                                    else Decimal(int(v)).scaleb(-scale, ctx)
+                                    for v, nz in zip(vals, nulls)
+                                ],
+                                type=dtype_dec,
+                            )
+                        else:
+                            # scaled int64 -> decimal128 storage: LE 128-bit
+                            # two's complement = (low limb, sign extension)
+                            limbs = np.empty((n_rows, 2), dtype="<i8")
+                            limbs[:, 0] = vals
+                            limbs[:, 1] = vals >> 63
+                            base = pa.Array.from_buffers(
+                                dtype_dec, n_rows, [None, pa.py_buffer(limbs)]
+                            )
+                            if nulls.any():
+                                import pyarrow.compute as pc
+
+                                base = pc.if_else(
+                                    pa.array(~nulls), base, pa.nulls(n_rows, dtype_dec)
+                                )
+                            cols_out[c.name] = base
                     elif c.ctype == MYSQL_TYPE_STRING and c.enum_values:
                         import pyarrow.compute as pc
 
@@ -1324,6 +1589,18 @@ def decode_mysql_events(
                         idx = np.where(nulls, 0, vals).astype(np.int64)
                         taken = pc.take(lut, pa.array(idx))
                         cols_out[c.name] = taken
+                    elif c.ctype == MYSQL_TYPE_STRING and c.set_values:
+                        # SET bitmask -> comma-joined member names (bit i ->
+                        # member i, MySQL's textual convention); loop is over
+                        # MEMBERS (<= 64), rows stay vectorized
+                        joined = np.full(n_rows, "", dtype=object)
+                        for i, member in enumerate(c.set_values):
+                            has = ((vals >> i) & 1).astype(bool)
+                            sep = np.where(joined == "", "", ",")
+                            joined = np.where(has, joined + sep + member, joined)
+                        cols_out[c.name] = pa.array(
+                            joined, type=pa.string(), mask=mask
+                        )
                     else:
                         cols_out[c.name] = pa.array(vals, mask=mask)
                 yield pa.RecordBatch.from_pydict(cols_out)

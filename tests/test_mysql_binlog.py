@@ -143,7 +143,7 @@ def test_rows_event_wave_decode(checksum):
         j = by_id[rid]
         assert uid[j] == row[1]
         assert et[j] == row[2]
-        assert score[j] == pytest.approx(float(row[3]), abs=0)
+        assert score[j] == int(row[3].scaleb(4))  # exact scaled int64
         want_us = int(np.datetime64(row[4], "us").astype("int64"))
         assert int(ts[j]) == want_us
         if row[5] is None:
@@ -223,7 +223,7 @@ def test_spark_end_to_end_with_registry_extraction(spark):
                 F.array(*[F.lit(s) for s in tm.columns[2].enum_values]),
                 F.col("event_type"),
             )).cast("long").alias("etype"),
-            F.round("value", 4).alias("score"),
+            F.round("value", 4).cast("decimal(18,4)").alias("score"),
             F.col("ts"),
             F.when(
                 F.get_json_object("props", "$.k").cast("long") % 7 == 0,
@@ -363,9 +363,9 @@ def test_rows_event_roundtrip_property(rows, checksum):
         if row[3] is None:
             assert nulls[gi]
         else:
-            # DoubleType output is exact to ~15 significant digits (the
-            # docstring's contract); wider decimals carry last-ulp error
-            assert vals[gi] == pytest.approx(float(row[3]), rel=1e-12)
+            # DecimalType decode is EXACT: the scaled int64 must match
+            # the input decimal bit-for-bit (mydecimal.cc:33-131 parity)
+            assert int(vals[gi]) == int(row[3].scaleb(4))
         vals, nulls = dec["ts"]
         if row[4] is None:
             assert nulls[gi]
@@ -385,3 +385,202 @@ def test_rows_event_roundtrip_property(rows, checksum):
                 got = bytes(buf[off[gi] : off[gi + 1]])
                 want = row[col_i].encode() if isinstance(row[col_i], str) else row[col_i]
                 assert got == want
+
+
+def test_crc32_frames_matches_zlib():
+    import zlib
+
+    from binlogsub_spark.mysql_binlog import crc32_frames
+
+    rng = np.random.default_rng(11)
+    lens = rng.integers(0, 300, size=500).astype(np.int64)
+    data = rng.integers(0, 256, size=int(lens.sum()), dtype=np.uint8)
+    starts = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    got = crc32_frames(data, starts, lens)
+    want = np.array(
+        [zlib.crc32(bytes(data[s : s + l])) for s, l in zip(starts, lens)],
+        dtype=np.uint32,
+    )
+    assert (got == want).all()
+
+
+def test_validate_verify_crc_flag():
+    """A bit-flipped payload passes the cheap length checks (decode hot
+    path, verify_crc=False) but is caught by the demux-grade full check."""
+    from binlogsub_spark.mysql_binlog import validate_mysql_frames
+
+    tm = _tmap()
+    row = (1, 2, 1, 1.5, datetime(2024, 1, 1), 3, "t", "p", b"b", 1.0)
+    frame = bytearray(
+        encode_rows_event(WRITE_ROWS_EVENT_V2, tm, [row], checksum=True)
+    )
+    frame[40] ^= 0x01  # corrupt one payload byte, length intact
+    data, starts, ends = _frames_np([bytes(frame)])
+    full = validate_mysql_frames(data, starts, ends, checksum=True)
+    assert full.tolist() == [3]  # bad_crc
+    cheap = validate_mysql_frames(
+        data, starts, ends, checksum=True, verify_crc=False
+    )
+    assert cheap.tolist() == [0]
+
+
+def test_full_type_matrix_decode():
+    """DATE/NEWDATE, SET, BIT, CHAR, temporal v1 (TIMESTAMP/DATETIME/TIME)
+    and a wide DECIMAL(30,10) — the rest of the ParseColumnValue matrix
+    (event.cc:534-710) through the wave kernel."""
+    from datetime import date
+
+    from binlogsub_spark.mysql_binlog import (
+        MYSQL_TYPE_BIT,
+        MYSQL_TYPE_DATE,
+        MYSQL_TYPE_DATETIME,
+        MYSQL_TYPE_NEWDATE,
+        MYSQL_TYPE_SET,
+        MYSQL_TYPE_TIME,
+        MYSQL_TYPE_TIMESTAMP,
+    )
+
+    tm = TableMap(
+        table_id=13, db="d", table="t",
+        columns=[
+            MysqlColumn("d1", MYSQL_TYPE_NEWDATE),
+            MysqlColumn("d2", MYSQL_TYPE_DATE),
+            MysqlColumn(
+                "s", MYSQL_TYPE_STRING, meta=(MYSQL_TYPE_SET, 2),
+                set_values=("a", "b", "c", "dd", "e", "f", "g", "h", "i"),
+            ),
+            MysqlColumn("bits", MYSQL_TYPE_BIT, meta=12),
+            MysqlColumn("ch", MYSQL_TYPE_STRING, meta=(MYSQL_TYPE_STRING, 40)),
+            MysqlColumn("chl", MYSQL_TYPE_STRING, meta=(MYSQL_TYPE_STRING, 600)),
+            MysqlColumn("t1", MYSQL_TYPE_TIMESTAMP),
+            MysqlColumn("dt1", MYSQL_TYPE_DATETIME),
+            MysqlColumn("tm1", MYSQL_TYPE_TIME),
+            MysqlColumn("wd", MYSQL_TYPE_NEWDECIMAL, meta=(30, 10)),
+        ],
+    )
+    rows = [
+        (date(2024, 2, 29), date(1970, 1, 1), 0b100001101, 0xABC, "hi", "x" * 300,
+         1_700_000_000, datetime(2024, 12, 31, 23, 59, 58), (1, 100, 30, 9),
+         Decimal("12345678901234567890.0123456789")),
+        (date(1999, 12, 31), date(2038, 1, 19), 0, 0, "", "",
+         0, datetime(1000, 1, 1, 0, 0, 0), (-1, 0, 0, 1),
+         Decimal("-0.0000000001")),
+    ]
+    frames = [encode_rows_event(WRITE_ROWS_EVENT_V2, tm, rows)]
+    data, starts, ends = _frames_np(frames)
+    dec = decode_rows_frames(
+        data, starts, ends, np.array([WRITE_ROWS_EVENT_V2], np.uint8), tm
+    )
+    epoch = date(1970, 1, 1).toordinal()
+    assert list(dec["d1"][0]) == [
+        date(2024, 2, 29).toordinal() - epoch, date(1999, 12, 31).toordinal() - epoch
+    ]
+    assert list(dec["d2"][0]) == [
+        date(1970, 1, 1).toordinal() - epoch, date(2038, 1, 19).toordinal() - epoch
+    ]
+    assert list(dec["s"][0]) == [0b100001101, 0]  # raw bitmask pre-assembly
+    assert list(dec["bits"][0]) == [0xABC, 0]
+    for name, want in (("ch", ["hi", ""]), ("chl", ["x" * 300, ""])):
+        _, buf, lens, _ = dec[name]
+        off = np.concatenate([[0], np.cumsum(lens)])
+        assert [bytes(buf[off[i]:off[i+1]]).decode() for i in range(2)] == want
+    assert list(dec["t1"][0]) == [1_700_000_000_000000, 0]
+    want_dt = int(np.datetime64(datetime(2024, 12, 31, 23, 59, 58), "us").astype("int64"))
+    want_dt2 = int(np.datetime64(datetime(1000, 1, 1), "us").astype("int64"))
+    assert list(dec["dt1"][0]) == [want_dt, want_dt2]
+    assert list(dec["tm1"][0]) == [
+        (100 * 3600 + 30 * 60 + 9) * 1_000_000, -1_000_000
+    ]
+    wd, _ = dec["wd"]
+    assert wd.dtype == object
+    assert int(wd[0]) == 123456789012345678900123456789
+    assert int(wd[1]) == -1
+
+
+def test_full_type_matrix_spark(spark):
+    """The same matrix through the DISTRIBUTED path: encode -> registry
+    extract (metadata roundtrip for BIT/SET/CHAR widths) -> decode ->
+    typed Spark rows incl. DecimalType(30,10), DateType, SET names."""
+    from datetime import date
+
+    import pyspark.sql.types as T
+
+    from binlogsub_spark.mysql_binlog import (
+        MYSQL_TYPE_BIT,
+        MYSQL_TYPE_NEWDATE,
+        MYSQL_TYPE_SET,
+        MYSQL_TYPE_TIME,
+        encode_table_map,
+    )
+
+    tm = TableMap(
+        table_id=21, db="d", table="t2",
+        columns=[
+            MysqlColumn("id", MYSQL_TYPE_LONGLONG, nullable=False),
+            MysqlColumn("d1", MYSQL_TYPE_NEWDATE),
+            MysqlColumn(
+                "s", MYSQL_TYPE_STRING, meta=(MYSQL_TYPE_SET, 1),
+                set_values=("red", "green", "blue"),
+            ),
+            MysqlColumn("bits", MYSQL_TYPE_BIT, meta=10),
+            MysqlColumn("ch", MYSQL_TYPE_STRING, meta=(MYSQL_TYPE_STRING, 12)),
+            MysqlColumn("tm1", MYSQL_TYPE_TIME),
+            MysqlColumn("wd", MYSQL_TYPE_NEWDECIMAL, meta=(30, 10)),
+        ],
+    )
+    rows = [
+        (1, date(2024, 2, 29), 0b101, 0x2AB, "abc", (1, 1, 2, 3),
+         Decimal("98765432109876543210.9876543210")),
+        (2, None, None, None, None, None, None),
+        (3, date(1970, 1, 2), 0b010, 1, "", (-1, 0, 1, 1), Decimal("-1.5")),
+    ]
+    frames = [
+        encode_table_map(tm),
+        encode_rows_event(WRITE_ROWS_EVENT_V2, tm, rows),
+    ]
+    df = spark.createDataFrame(
+        [(0, i, bytearray(f)) for i, f in enumerate(frames)],
+        "file_seq INT, log_pos LONG, payload BINARY",
+    )
+    registry = extract_table_maps(df)
+    assert [c.meta for c in registry[21].columns] == [c.meta for c in tm.columns]
+    got = decode_mysql_events(
+        df, registry, column_overrides={21: tm.columns}
+    ).orderBy("id").collect()
+    schema = {f.name: f.dataType for f in decode_mysql_events(
+        df, registry, column_overrides={21: tm.columns}).schema.fields}
+    assert schema["wd"] == T.DecimalType(30, 10)
+    assert schema["d1"] == T.DateType()
+    assert schema["s"] == T.StringType()
+    assert [r["d1"] for r in got] == [date(2024, 2, 29), None, date(1970, 1, 2)]
+    assert [r["s"] for r in got] == ["red,blue", None, "green"]
+    assert [r["bits"] for r in got] == [0x2AB, None, 1]
+    assert [r["ch"] for r in got] == ["abc", None, ""]
+    assert [r["tm1"] for r in got] == [
+        (3600 + 2 * 60 + 3) * 1_000_000, None, -(61 * 1_000_000)
+    ]
+    assert [r["wd"] for r in got] == [
+        Decimal("98765432109876543210.9876543210"), None, Decimal("-1.5000000000")
+    ]
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    scaled=st.integers(-(10**30 - 1), 10**30 - 1),
+    prec_extra=st.integers(0, 8),
+)
+def test_wide_decimal_exactness_property(scaled, prec_extra):
+    """Hypothesis: 16-30-significant-digit decimals survive the packed
+    encode -> wide decode EXACTLY (VERDICT r2 item 2's done-criterion)."""
+    from binlogsub_spark.codec_mysql import decimal_to_bin
+    from binlogsub_spark.mysql_binlog import _decode_newdecimal_wide
+
+    scale = 10
+    prec = min(30 + prec_extra, 38)
+    value = Decimal(f"{scaled}E-{scale}")  # exact (scaleb would round to 28 digits)
+    buf = decimal_to_bin(value, prec, scale)
+    data = np.frombuffer(buf, dtype=np.uint8)
+    got, size = _decode_newdecimal_wide(data, np.zeros(1, dtype=np.int64), prec, scale)
+    assert size == len(buf)
+    assert int(got[0]) == scaled
