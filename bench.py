@@ -177,6 +177,34 @@ def run_bench(sf_dir: str, cpus: int, ingest_events: int | None = None) -> dict:
             dt = time.time() - t0
             mysql_sec = dt if mysql_sec is None else min(mysql_sec, dt)
         timings["cdc_mysql_row_decode"] = round(mysql_sec, 3)
+
+        # .binlog FILE ingest: real files (magic + FD + table maps +
+        # frames + CRC) -> zero-copy frame walk -> registry extract ->
+        # wave decode. File writing is driver-side fixture generation
+        # (untimed); parallelism = one file per task, so events_per_file
+        # sizes the task count.
+        from binlogsub_spark.mysql_binlog import binlog_files_to_frames
+        from binlogsub_spark.sources.generator import write_mysql_binlog_files
+
+        fdir = os.path.join(tmp, "binlogfiles")
+        file_events = max(ingest_events // 10, 50_000)
+        write_mysql_binlog_files(
+            spark, fdir,
+            GeneratorParams(
+                n_events=file_events, n_convs=params.n_convs, dup_tail=0,
+                events_per_file=8192,
+            ),
+            checksum=True,
+        )
+        file_sec, n_file_rows = None, 0
+        for _ in range(2):
+            t0 = time.time()
+            fframes = binlog_files_to_frames(spark, fdir)
+            freg = extract_table_maps(fframes, checksum=True)
+            n_file_rows = decode_mysql_events(fframes, freg, checksum=True).count()
+            dt = time.time() - t0
+            file_sec = dt if file_sec is None else min(file_sec, dt)
+        timings["cdc_mysql_file_ingest"] = round(file_sec, 3)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -213,6 +241,7 @@ def run_bench(sf_dir: str, cpus: int, ingest_events: int | None = None) -> dict:
         "events_per_sec_applied": round(total_events / ingest_sec, 1),
         "raw_decode_events_per_sec": round(raw_events_n / raw_sec, 1),
         "mysql_row_decode_rows_per_sec": round(mysql_rows / mysql_sec, 1),
+        "mysql_file_ingest_events_per_sec": round(n_file_rows / file_sec, 1),
     }
 
 

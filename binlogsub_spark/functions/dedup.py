@@ -28,9 +28,22 @@ def _rebalance(df: DataFrame) -> DataFrame:
     heavy stages (shingling/hashing): a corpus that arrives as one small
     parquet file would otherwise run EVERY per-row expression on one core.
     At real scale input splits >> cores, the condition is false, and no
-    shuffle is added."""
+    shuffle is added.
+
+    The check prefers ``inputFiles()`` (a file listing — no plan
+    conversion) over ``df.rdd.getNumPartitions()``, which forces an
+    RDD conversion of the whole plan per call (r2 VERDICT item: cheap
+    but avoidable)."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(target // 2, 2):
+    floor = max(target // 2, 2)
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files >= floor:
+        return df  # enough splits without asking the RDD layer
+    n_parts = n_files if n_files else df.rdd.getNumPartitions()
+    if n_parts < floor:
         return df.repartition(target)
     return df
 

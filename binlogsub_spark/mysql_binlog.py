@@ -369,28 +369,37 @@ def encode_rows_event(
     rows: list,
     present: list[int] | None = None,
     checksum: bool = False,
+    present2: list[int] | None = None,
     **kw,
 ) -> bytes:
     """WRITE/UPDATE/DELETE rows event v2. ``rows``: tuples of column values
-    (None = NULL); for UPDATE each entry is a (before, after) pair."""
+    (None = NULL); for UPDATE each entry is a (before, after) pair.
+    ``present``/``present2`` are the before/after columns-present sets —
+    differing sets model binlog_row_image=MINIMAL/NOBLOB (the before image
+    carries the key, the after image the changed columns)."""
     width = len(tmap.columns)
     present = present if present is not None else list(range(width))
     nbm = (width + 7) // 8
-    pres_bits = bytearray(nbm)
-    for ci in present:
-        pres_bits[ci // 8] |= 1 << (ci % 8)
+
+    def _bits(cols: list[int]) -> bytes:
+        b = bytearray(nbm)
+        for ci in cols:
+            b[ci // 8] |= 1 << (ci % 8)
+        return bytes(b)
+
     body = (
         tmap.table_id.to_bytes(6, "little")
         + struct.pack("<H", 0)
         + struct.pack("<H", 2)  # extra-data length (includes itself)
         + _lenenc(width)
-        + bytes(pres_bits)
+        + _bits(present)
     )
     if type_code == UPDATE_ROWS_EVENT_V2:
-        body += bytes(pres_bits)  # bitmap2 (after image)
+        p2 = present2 if present2 is not None else present
+        body += _bits(p2)  # bitmap2 (after image)
         for before, after in rows:
             body += _encode_image(tmap, before, present)
-            body += _encode_image(tmap, after, present)
+            body += _encode_image(tmap, after, p2)
     else:
         for row in rows:
             body += _encode_image(tmap, row, present)
@@ -806,6 +815,37 @@ def _bit_matrix(data: np.ndarray, pos: np.ndarray, nbytes: int, nbits: int) -> n
     return bits[:, :nbits].astype(bool)
 
 
+def _record_wave(
+    waves: dict,
+    accs: dict,
+    vlcols: set,
+    ci: int,
+    data: np.ndarray,
+    n_rec: int,
+    rec_nulls: np.ndarray,
+    vals,
+    keep_of_rows,
+) -> None:
+    """Append one (wave, image) sub-batch of a column to its accumulators.
+    ``vals`` is the parsed result for ALL not-null rows of the image pass;
+    ``keep_of_rows`` masks it down to the recorded frames; ``rec_nulls`` is
+    the null flags aligned to the recorded frames."""
+    if ci in vlcols:
+        vstarts = np.zeros(n_rec, dtype=np.int64)
+        vlens = np.zeros(n_rec, dtype=np.int64)
+        if vals is not None:
+            _, s_, l_ = vals
+            tgt = ~rec_nulls
+            vstarts[tgt] = s_[keep_of_rows]
+            vlens[tgt] = l_[keep_of_rows]
+        accs[ci].add(data, vstarts, vlens)
+        waves[ci].append((rec_nulls, None))
+    else:
+        waves[ci].append(
+            (rec_nulls, vals[keep_of_rows] if vals is not None else None)
+        )
+
+
 def decode_rows_frames(
     data: np.ndarray,
     starts: np.ndarray,
@@ -813,6 +853,7 @@ def decode_rows_frames(
     type_codes: np.ndarray,
     tmap: TableMap,
     checksum: bool = False,
+    include_before: bool = False,
 ) -> dict:
     """Decode a group of same-table rows-event frames, vectorized in waves.
 
@@ -823,9 +864,16 @@ def decode_rows_frames(
 
     Returns {"frame_idx", "op", columns...} where frame_idx maps each
     decoded row back to its input frame. UPDATE rows yield the AFTER image
-    with op='U' (the before image is parsed — it must be, to advance — and
-    used only for position accounting, like flatten_envelope keys deletes
-    on the before image)."""
+    with op='U'; with ``include_before`` the before image is ALSO emitted
+    as "_before_<col>" entries (null on I/D rows) — parity with the
+    reference's Row old_columns (/root/reference/row.h:40-41, both-image
+    parse event.cc:336-342).
+
+    The group must be bitmap-uniform: all frames share the columns-present
+    bitmap, and update after-images share theirs (decode_mysql_events
+    sub-groups by bitmap signature first, so MINIMAL/NOBLOB row images
+    decode fine — each shape is its own uniform group; the before and
+    after column sets may differ when the whole group is updates)."""
     n = len(starts)
     width = len(tmap.columns)
     nbm = (width + 7) // 8
@@ -842,77 +890,98 @@ def decode_rows_frames(
     pres1 = _bit_matrix(data, pos, nbm, width)
     pos = pos + nbm
     is_update = type_codes == UPDATE_ROWS_EVENT_V2
-    pres2 = np.zeros_like(pres1)
+    pres2 = pres1.copy()
     if is_update.any():
         pres2[is_update] = _bit_matrix(data, pos[is_update], nbm, width)
         pos = pos + np.where(is_update, nbm, 0)
+    all_update = n > 0 and bool(is_update.all())
     if n:
-        # wave parsing assumes a uniform present-bitmap per group (true for
-        # binlog_row_image=FULL, which is what the fixture encoder emits and
-        # the overwhelmingly common production setting)
         if not (pres1 == pres1[0]).all():
             raise ValueError("non-uniform columns-present bitmap in group")
-        if is_update.any() and not (pres2[is_update] == pres1[is_update]).all():
-            # MINIMAL/NOBLOB images shape before/after differently; decoding
-            # them as FULL would silently misalign every later column
-            raise ValueError("after-image bitmap differs (binlog_row_image != FULL?)")
-        present_cols = [i for i in range(width) if pres1[0, i]]
+        if is_update.any():
+            p2 = pres2[is_update]
+            if not (p2 == p2[0]).all():
+                raise ValueError("non-uniform after-image bitmap in group")
+            if not all_update and not (p2[0] == pres1[0]).all():
+                raise ValueError("after-image bitmap differs in mixed-op group")
+        before_cols = [i for i in range(width) if pres1[0, i]]
+        after_row = pres2[is_update][0] if all_update else pres1[0]
+        main_cols = [i for i in range(width) if after_row[i]]
     else:
-        present_cols = list(range(width))
-    nb_null = (len(present_cols) + 7) // 8
+        before_cols = main_cols = list(range(width))
+    nb_null_b = (len(before_cols) + 7) // 8
+    nb_null_a = (len(main_cols) + 7) // 8
 
     _OP_BY_CODE = np.array(["I", "U", "D"], dtype=object)
     ops_per_frame = _OP_BY_CODE[type_codes.astype(np.int64) - WRITE_ROWS_EVENT_V2]
 
     # accumulators (per wave-image, appended in lockstep with frame_idx)
     frame_idx_waves: list[np.ndarray] = []
-    col_waves: dict[int, list] = {ci: [] for ci in present_cols}  # (nulls, values)
-    varlen_cols = {ci for ci in present_cols if _is_varlen(tmap.columns[ci])}
+    col_waves: dict[int, list] = {ci: [] for ci in main_cols}  # (nulls, values)
+    varlen_cols = {ci for ci in main_cols if _is_varlen(tmap.columns[ci])}
     varlen_acc: dict[int, _VarlenAcc] = {ci: _VarlenAcc() for ci in varlen_cols}
+    b_col_waves: dict[int, list] = {ci: [] for ci in before_cols}
+    b_varlen_cols = {ci for ci in before_cols if _is_varlen(tmap.columns[ci])}
+    b_varlen_acc: dict[int, _VarlenAcc] = {ci: _VarlenAcc() for ci in b_varlen_cols}
 
     pos = pos.astype(np.int64).copy()
     active = pos < body_end
     while active.any():
         act = np.flatnonzero(active)
-        # image pass 0: the (only) image of I/D frames AND the before-image
-        # of U frames (parsed to advance, then discarded); image pass 1: the
-        # after-image of U frames (recorded).
-        for image_i in (0, 1):
-            sel = act if image_i == 0 else act[is_update[act]]
-            if len(sel) == 0:
-                continue
-            keep = np.ones(len(sel), dtype=bool) if image_i else ~is_update[sel]
-            null_bits = _bit_matrix(data, pos[sel], nb_null, len(present_cols))
-            pos[sel] += nb_null
-            n_rec = int(keep.sum())
-            for ordinal, ci in enumerate(present_cols):
-                notnull = ~null_bits[:, ordinal]
-                rows = sel[notnull]
-                rec_nulls = null_bits[keep, ordinal]
+        upd_mask = is_update[act]
+        upd = act[upd_mask]
+        n_non = int((~upd_mask).sum())
+        # ---- image pass 0: the sole image of I/D frames (recorded as
+        # main) AND the before image of U frames (stashed when
+        # include_before, else parsed only to advance)
+        null_b = _bit_matrix(data, pos[act], nb_null_b, len(before_cols))
+        pos[act] += nb_null_b
+        stash: dict[int, tuple] = {}
+        for ordinal, ci in enumerate(before_cols):
+            notnull = ~null_b[:, ordinal]
+            rows = act[notnull]
+            vals = None
+            if len(rows):
+                vals, widths = _read_column_values(data, pos, rows, tmap.columns[ci])
+                pos[rows] += widths
+            if n_non and ci in col_waves:
+                _record_wave(
+                    col_waves, varlen_acc, varlen_cols, ci, data, n_non,
+                    null_b[~upd_mask, ordinal], vals, (~upd_mask)[notnull],
+                )
+            if include_before and len(upd):
+                stash[ci] = (null_b[upd_mask, ordinal], vals, upd_mask[notnull])
+        if n_non:
+            frame_idx_waves.append(act[~upd_mask])
+            if include_before:  # I/D rows carry no before image
+                for ci in before_cols:
+                    _record_wave(
+                        b_col_waves, b_varlen_acc, b_varlen_cols, ci, data,
+                        n_non, np.ones(n_non, dtype=bool), None, None,
+                    )
+        # ---- image pass 1: the after image of U frames (recorded as main)
+        if len(upd):
+            null_a = _bit_matrix(data, pos[upd], nb_null_a, len(main_cols))
+            pos[upd] += nb_null_a
+            for ordinal, ci in enumerate(main_cols):
+                notnull = ~null_a[:, ordinal]
+                rows = upd[notnull]
                 vals = None
                 if len(rows):
                     vals, widths = _read_column_values(data, pos, rows, tmap.columns[ci])
                     pos[rows] += widths
-                if n_rec == 0:
-                    continue
-                keep_of_rows = keep[notnull]
-                if ci in varlen_cols:
-                    # aligned per recorded row: zero-length slice where null
-                    vstarts = np.zeros(n_rec, dtype=np.int64)
-                    vlens = np.zeros(n_rec, dtype=np.int64)
-                    if vals is not None:
-                        _, s_, l_ = vals
-                        tgt = ~rec_nulls
-                        vstarts[tgt] = s_[keep_of_rows]
-                        vlens[tgt] = l_[keep_of_rows]
-                    varlen_acc[ci].add(data, vstarts, vlens)
-                    col_waves[ci].append((rec_nulls, None))
-                else:
-                    col_waves[ci].append(
-                        (rec_nulls, vals[keep_of_rows] if vals is not None else None)
+                _record_wave(
+                    col_waves, varlen_acc, varlen_cols, ci, data, len(upd),
+                    null_a[:, ordinal], vals, np.ones(len(rows), dtype=bool),
+                )
+            frame_idx_waves.append(upd)
+            if include_before:  # aligned with the SAME rows as the after image
+                for ci in before_cols:
+                    rec_nulls, vals, keep_of_rows = stash[ci]
+                    _record_wave(
+                        b_col_waves, b_varlen_acc, b_varlen_cols, ci, data,
+                        len(upd), rec_nulls, vals, keep_of_rows,
                     )
-            if n_rec:
-                frame_idx_waves.append(sel[keep])
         active = pos < body_end
         if (pos > body_end).any():
             raise ValueError("rows-event parse overran the event body")
@@ -926,28 +995,35 @@ def decode_rows_frames(
         "op": ops_per_frame[frame_idx] if len(frame_idx) else np.zeros(0, dtype=object),
     }
     n_rows = len(frame_idx)
-    for ci in present_cols:
-        col = tmap.columns[ci]
-        waves = col_waves[ci]
-        nulls = (
-            np.concatenate([w[0] for w in waves]) if waves else np.zeros(0, dtype=bool)
-        )
-        if ci in varlen_cols:
-            acc = varlen_acc[ci]
-            buf = np.concatenate(acc.bufs) if acc.bufs else np.zeros(0, dtype=np.uint8)
-            lens = (
-                np.concatenate(acc.lens) if acc.lens else np.zeros(0, dtype=np.int64)
+
+    def _assemble(cols_list, waves_d, accs, vlcols, prefix=""):
+        for ci in cols_list:
+            col = tmap.columns[ci]
+            waves = waves_d[ci]
+            nulls = (
+                np.concatenate([w[0] for w in waves]) if waves else np.zeros(0, dtype=bool)
             )
-            out[col.name] = ("varlen", buf, lens, nulls)
-            continue
-        vals_full = np.zeros(n_rows, dtype=_fixed_dtype(col))
-        off = 0
-        for wave_nulls, wave_vals in waves:
-            k = len(wave_nulls)
-            if wave_vals is not None:
-                vals_full[off : off + k][~wave_nulls] = wave_vals
-            off += k
-        out[col.name] = (vals_full, nulls)
+            key = prefix + col.name
+            if ci in vlcols:
+                acc = accs[ci]
+                buf = np.concatenate(acc.bufs) if acc.bufs else np.zeros(0, dtype=np.uint8)
+                lens = (
+                    np.concatenate(acc.lens) if acc.lens else np.zeros(0, dtype=np.int64)
+                )
+                out[key] = ("varlen", buf, lens, nulls)
+                continue
+            vals_full = np.zeros(n_rows, dtype=_fixed_dtype(col))
+            off = 0
+            for wave_nulls, wave_vals in waves:
+                k = len(wave_nulls)
+                if wave_vals is not None:
+                    vals_full[off : off + k][~wave_nulls] = wave_vals
+                off += k
+            out[key] = (vals_full, nulls)
+
+    _assemble(main_cols, col_waves, varlen_acc, varlen_cols)
+    if include_before:
+        _assemble(before_cols, b_col_waves, b_varlen_acc, b_varlen_cols, "_before_")
     return out
 
 
@@ -1166,7 +1242,17 @@ def assign_gtids(decoded: DataFrame, gtids: DataFrame) -> DataFrame:
 
 
 # ------------------------------------------------------- frame validation --
-MYSQL_REASON_NAMES = np.array(["ok", "short_frame", "len_mismatch", "bad_crc"])
+MYSQL_REASON_NAMES = np.array(
+    [
+        "ok",
+        "short_frame",
+        "len_mismatch",
+        "bad_crc",
+        "unknown_table_id",  # rows-event whose table map was never seen
+        "width_mismatch",  # rows-event width != table-map column count
+        "unsupported_type",  # table has a column the decoder cannot type
+    ]
+)
 
 def crc32_frames(data: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
     """CRC32 of n variable-length frames over ONE contiguous buffer.
@@ -1227,11 +1313,70 @@ def validate_mysql_frames(
     return reasons
 
 
+def _table_has_unsupported_type(tm: TableMap) -> bool:
+    for c in tm.columns:
+        try:
+            c.spark_type()
+        except ValueError:
+            return True
+    return False
+
+
+def probe_mysql_semantics(
+    data: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    reasons: np.ndarray,
+    registry: dict[int, TableMap],
+    known_table_ids: frozenset | None,
+) -> np.ndarray:
+    """Semantic probe over structurally-valid rows-event frames: flags the
+    failures the wave decoder would otherwise hit mid-task — unknown
+    table_id (map lost: NOT the scope filter, which needs the id to be
+    known), width mismatch against the registry, and unsupported column
+    types (JSON, >38-digit decimals, geometry). Cheap: type-byte gather,
+    one lenenc read, per-TABLE (not per-frame) type checks."""
+    ok = np.flatnonzero(reasons == 0)
+    if len(ok) == 0:
+        return reasons
+    tcodes = data[starts[ok] + 4]
+    ridx = ok[np.isin(tcodes, ROWS_EVENTS)]
+    if len(ridx) == 0:
+        return reasons
+    from binlogsub_spark.codec import read_lenenc_int
+
+    tids = _u_le(data, starts[ridx] + HEADER_LEN, 6).astype(np.int64)
+    for tid in np.unique(tids):
+        sel = ridx[tids == tid]
+        tm = registry.get(int(tid))
+        if tm is None:
+            if known_table_ids is None or int(tid) not in known_table_ids:
+                reasons[sel] = 4  # unknown_table_id
+            continue  # known but out of scope: valid, decoder skips it
+        if _table_has_unsupported_type(tm):
+            reasons[sel] = 6  # unsupported_type
+            continue
+        pos = starts[sel] + HEADER_LEN + 8
+        pos = pos + _u_le(data, pos, 2).astype(np.int64)
+        width_vals, _ = read_lenenc_int(data, pos)
+        reasons[sel[width_vals != len(tm.columns)]] = 5  # width_mismatch
+    return reasons
+
+
 def split_deadletter_mysql(
-    raw_df: DataFrame, checksum: bool = False
+    raw_df: DataFrame,
+    checksum: bool = False,
+    registry: dict[int, TableMap] | None = None,
+    known_table_ids: set[int] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(valid, dead_letter) demux for MySQL frames; the dead side carries
-    a ``_reason`` column naming the failed check."""
+    a ``_reason`` column naming the failed check. This is where the FULL
+    verification runs (CRC included). With ``registry`` the semantic probe
+    also dead-letters rows-events the decoder could not handle — unknown
+    table_ids (pass ``known_table_ids`` = every id ever seen, so the
+    scope filter is distinguishable from a LOST table map), width
+    mismatches, unsupported column types — instead of losing them
+    silently inside the decode kernel."""
     import pyarrow as pa
 
     from binlogsub_spark.codec import _binary_buffers
@@ -1240,12 +1385,17 @@ def split_deadletter_mysql(
         list(raw_df.schema.fields)
         + [T.StructField("_valid", T.BooleanType()), T.StructField("_reason", T.StringType())]
     )
+    known = frozenset(known_table_ids) if known_table_ids is not None else None
 
     def _flag(batches):
         for rb in batches:
             arr = rb.column(rb.schema.get_field_index("payload"))
             starts, ends, data = _binary_buffers(arr)
             reasons = validate_mysql_frames(data, starts, ends, checksum=checksum)
+            if registry is not None:
+                reasons = probe_mysql_semantics(
+                    data, starts, ends, reasons, registry, known
+                )
             rb = rb.append_column("_valid", pa.array(reasons == 0))
             yield rb.append_column("_reason", pa.array(MYSQL_REASON_NAMES[reasons]))
 
@@ -1287,8 +1437,19 @@ def binlog_files_to_frames(spark, path_glob: str) -> DataFrame:
     (file_seq, log_pos, payload): `binaryFile` source (one file per task),
     magic check + event_len walk per file, file_seq parsed from the
     `basename.NNNNNN` suffix — the reference's rotate-driven file sequence
-    (packet.cc:120-139) recovered from names."""
+    (packet.cc:120-139) recovered from names.
+
+    Zero-copy: the file bytes stay in the Arrow batch's own buffer — the
+    walk is an int-offset loop (struct.unpack_from over a memoryview,
+    ~100 ns/event, no per-event bytes objects), and the output payload
+    column is built DIRECTLY over a view of the file's buffer region
+    (frames are back-to-back on disk, so the walk's offsets ARE the Arrow
+    offsets). The round-2 version materialized each file via as_py() plus
+    one Python bytes per event — a per-task memory spike and millions of
+    allocations per GB."""
     import pyarrow as pa
+
+    from binlogsub_spark.codec import _binary_buffers
 
     files = spark.read.format("binaryFile").load(path_glob)
 
@@ -1296,20 +1457,53 @@ def binlog_files_to_frames(spark, path_glob: str) -> DataFrame:
         for rb in batches:
             paths = rb.column(rb.schema.get_field_index("path")).to_pylist()
             contents = rb.column(rb.schema.get_field_index("content"))
-            fseqs, lpos, frames = [], [], []
+            starts, ends, data = _binary_buffers(contents)
+            mv = memoryview(data)
+            unpack = struct.unpack_from
             for i, p in enumerate(paths):
                 seq = int(p.rsplit(".", 1)[-1])
-                for off, frame in split_binlog_bytes(contents[i].as_py()):
-                    fseqs.append(seq)
-                    lpos.append(off)
-                    frames.append(frame)
-            yield pa.RecordBatch.from_pydict(
-                {
-                    "file_seq": pa.array(np.array(fseqs, dtype=np.int32)),
-                    "log_pos": pa.array(np.array(lpos, dtype=np.int64)),
-                    "payload": pa.array(frames, type=pa.binary()),
-                }
-            )
+                fs, fe = int(starts[i]), int(ends[i])
+                if fe - fs < 4 or bytes(mv[fs : fs + 4]) != BINLOG_MAGIC:
+                    raise ValueError(
+                        f"{p}: not a binlog file (missing 0xfe 'bin' magic)"
+                    )
+                if fe - fs > np.iinfo(np.int32).max:
+                    raise ValueError(
+                        f"{p}: >2 GiB binlog file exceeds Arrow int32 offsets"
+                    )
+                offs = [4]
+                pos = fs + 4
+                while pos + HEADER_LEN <= fe:
+                    (event_len,) = unpack("<I", mv, pos + 9)
+                    if event_len < HEADER_LEN or pos + event_len > fe:
+                        raise ValueError(
+                            f"{p}: corrupt frame length {event_len} "
+                            f"at offset {pos - fs}"
+                        )
+                    pos += event_len
+                    offs.append(pos - fs)
+                if pos != fe:
+                    raise ValueError(
+                        f"{p}: trailing garbage: {fe - pos} bytes after last frame"
+                    )
+                n = len(offs) - 1
+                if n == 0:
+                    continue
+                off_arr = np.array(offs, dtype=np.int32)
+                # rebase offsets to 0 over a magic-excluded buffer view:
+                # downstream Arrow IPC assumes offsets[0] == 0
+                payload = pa.Array.from_buffers(
+                    pa.binary(), n,
+                    [None, pa.py_buffer(off_arr - 4), pa.py_buffer(data[fs + 4 : fe])],
+                )
+                yield pa.RecordBatch.from_pydict(
+                    {
+                        "file_seq": pa.array(np.full(n, seq, dtype=np.int32)),
+                        # log_pos = REAL byte offset in the file (incl. magic)
+                        "log_pos": pa.array(off_arr[:-1].astype(np.int64)),
+                        "payload": payload,
+                    }
+                )
 
     return files.select("path", "content").mapInArrow(_split, schema=MYSQL_RAW_SCHEMA)
 
@@ -1365,12 +1559,96 @@ def extract_table_maps(raw_df: DataFrame, checksum: bool = False) -> dict[int, T
     return registry
 
 
+def _rows_signatures(
+    data: np.ndarray, starts: np.ndarray, type_codes: np.ndarray, width: int
+) -> np.ndarray:
+    """(n, 2*nbm+1) uint8 bitmap-signature matrix of rows-event frames:
+    raw columns-present bitmap bytes, after-image bitmap bytes (== the
+    first for non-updates), and the update flag. Frames sharing a
+    signature decode together as one uniform wave group — how MINIMAL /
+    NOBLOB row images coexist with FULL ones in a single batch."""
+    nbm = (width + 7) // 8
+    pos = starts + HEADER_LEN + 8
+    extra = _u_le(data, pos, 2).astype(np.int64)
+    pos = pos + extra
+    from binlogsub_spark.codec import read_lenenc_int
+
+    _, pos = read_lenenc_int(data, pos)
+    pres1 = _gather_fixed(data, pos, nbm)
+    pos = pos + nbm
+    is_update = type_codes == UPDATE_ROWS_EVENT_V2
+    pres2 = pres1.copy()
+    if is_update.any():
+        pres2[is_update] = _gather_fixed(data, pos[is_update], nbm)
+    return np.concatenate(
+        [pres1, pres2, is_update[:, None].astype(np.uint8)], axis=1
+    )
+
+
+def registry_to_json(registry: dict[int, TableMap]) -> str:
+    """Serialize a table-map registry (the cross-micro-batch table-map
+    cache — the reference keeps the same thing in its Redis position hash,
+    /root/reference/packet.cc:194-200; we persist it next to the stream
+    checkpoint so a restart can decode rows-events whose TABLE_MAP frames
+    arrived in an earlier batch)."""
+    import json
+
+    return json.dumps(
+        {
+            str(tid): {
+                "table_id": tm.table_id,
+                "db": tm.db,
+                "table": tm.table,
+                "columns": [
+                    {
+                        "name": c.name,
+                        "ctype": c.ctype,
+                        "meta": list(c.meta) if isinstance(c.meta, tuple) else c.meta,
+                        "meta_is_tuple": isinstance(c.meta, tuple),
+                        "nullable": c.nullable,
+                        "enum_values": list(c.enum_values) if c.enum_values else None,
+                        "set_values": list(c.set_values) if c.set_values else None,
+                    }
+                    for c in tm.columns
+                ],
+            }
+            for tid, tm in registry.items()
+        },
+        sort_keys=True,
+    )
+
+
+def registry_from_json(s: str) -> dict[int, TableMap]:
+    import json
+
+    out: dict[int, TableMap] = {}
+    for tid, d in json.loads(s).items():
+        cols = [
+            MysqlColumn(
+                name=c["name"],
+                ctype=c["ctype"],
+                meta=tuple(c["meta"]) if c["meta_is_tuple"] else c["meta"],
+                nullable=c["nullable"],
+                enum_values=tuple(c["enum_values"]) if c["enum_values"] else None,
+                set_values=tuple(c["set_values"]) if c["set_values"] else None,
+            )
+            for c in d["columns"]
+        ]
+        out[int(tid)] = TableMap(
+            table_id=d["table_id"], db=d["db"], table=d["table"], columns=cols
+        )
+    return out
+
+
 def decode_mysql_events(
     raw_df: DataFrame,
     registry: dict[int, TableMap] | None = None,
     column_overrides: dict[int, list[MysqlColumn]] | None = None,
     checksum: bool = False,
     skip_invalid: bool = True,
+    include_before: bool = False,
+    on_error: str = "skip",
+    known_table_ids: set[int] | None = None,
 ) -> DataFrame:
     """Framed MySQL binlog events -> typed change records via mapInArrow.
 
@@ -1385,9 +1663,27 @@ def decode_mysql_events(
     rows from a table that lacks a column get NULL there — exactly the
     engine's schema-union evolution (T5), expressed over genuine frames
     (MySQL's ALTER assigns a new table_id, so two epochs of one logical
-    table are two registry entries)."""
+    table are two registry entries).
+
+    Frames group by (table_id, bitmap signature), so any binlog_row_image
+    (FULL/MINIMAL/NOBLOB) decodes — absent image columns become NULLs.
+    ``include_before`` adds "_before_<col>" output columns carrying UPDATE
+    before images (parity with the reference Row old_columns, row.h:40-41).
+
+    ``on_error='skip'`` (default) drops a sub-group that fails semantic
+    decode instead of aborting the task — the 'one bad frame cannot kill
+    the stream' contract; route frames through split_deadletter_mysql
+    first for reason-coded accounting. ``on_error='raise'`` propagates.
+    Rows-events whose table_id is in neither ``registry`` nor
+    ``known_table_ids`` indicate LOST TABLE MAPS (restart mid-file): they
+    raise under 'raise' and are dropped under 'skip' (dead-letter them
+    upstream via split_deadletter_mysql(known_table_ids=...) to make the
+    loss visible); ids in known_table_ids but not registry are the
+    intentional scope filter."""
     import pyarrow as pa
 
+    if on_error not in ("skip", "raise"):
+        raise ValueError("on_error must be 'skip' or 'raise'")
     if registry is None:
         registry = extract_table_maps(raw_df, checksum=checksum)
     if column_overrides:
@@ -1402,6 +1698,15 @@ def decode_mysql_events(
             )
             for tid, tm in registry.items()
         }
+    # tables with columns the engine cannot type (JSON, geometry, >38-digit
+    # decimals) are excluded up front: their frames dead-letter with reason
+    # 'unsupported_type' in split_deadletter_mysql rather than breaking the
+    # union schema or aborting mid-task
+    registry = {
+        tid: tm
+        for tid, tm in registry.items()
+        if not _table_has_unsupported_type(tm)
+    }
     union_cols: list[MysqlColumn] = []
     seen: dict[str, MysqlColumn] = {}
     for tm in registry.values():
@@ -1414,14 +1719,16 @@ def decode_mysql_events(
                     f"column {c.name!r} has conflicting types across table maps"
                 )
 
-    out_schema = T.StructType(
-        [
-            T.StructField("file_seq", T.IntegerType()),
-            T.StructField("log_pos", T.LongType()),
-            T.StructField("op", T.StringType()),
+    out_fields = [
+        T.StructField("file_seq", T.IntegerType()),
+        T.StructField("log_pos", T.LongType()),
+        T.StructField("op", T.StringType()),
+    ] + [T.StructField(c.name, c.spark_type()) for c in union_cols]
+    if include_before:
+        out_fields += [
+            T.StructField(f"_before_{c.name}", c.spark_type()) for c in union_cols
         ]
-        + [T.StructField(c.name, c.spark_type()) for c in union_cols]
-    )
+    out_schema = T.StructType(out_fields)
 
     def _pa_type(stype: T.DataType):
         if isinstance(stype, T.DecimalType):
@@ -1439,8 +1746,93 @@ def decode_mysql_events(
 
     def _pa_nulls(count: int, stype: T.DataType):
         return pa.nulls(count, _pa_type(stype))
+
+    def _assemble_col(c: MysqlColumn, packed, n_rows: int):
+        """One decoded column (decode_rows_frames packing) -> pa.Array."""
+        if len(packed) == 4:  # ("varlen", buf, lens, nulls)
+            _, buf, lens, nulls = packed
+            off = np.zeros(n_rows + 1, dtype=np.int64)
+            np.cumsum(lens, out=off[1:])
+            if int(off[-1]) > np.iinfo(np.int32).max:
+                # int32 Arrow offsets would silently wrap into corrupt
+                # slices; a >2 GiB varlen column in ONE batch means
+                # maxRecordsPerBatch is set far too high for the payload
+                raise ValueError(
+                    f"column {c.name!r}: {int(off[-1])} varlen bytes in one "
+                    "Arrow batch exceeds the 2 GiB int32-offset limit; lower "
+                    "spark.sql.execution.arrow.maxRecordsPerBatch"
+                )
+            atype = pa.binary() if c.ctype == MYSQL_TYPE_BLOB else pa.string()
+            base = pa.Array.from_buffers(
+                atype, n_rows,
+                [None, pa.py_buffer(off.astype(np.int32)), pa.py_buffer(buf)],
+            )
+            if nulls.any():
+                import pyarrow.compute as pc
+
+                base = pc.if_else(pa.array(~nulls), base, pa.nulls(n_rows, atype))
+            return base
+        vals, nulls = packed
+        mask = nulls if nulls.any() else None
+        if c.ctype in (
+            MYSQL_TYPE_DATETIME2,
+            MYSQL_TYPE_TIMESTAMP2,
+            MYSQL_TYPE_DATETIME,
+            MYSQL_TYPE_TIMESTAMP,
+        ):
+            return pa.array(vals, type=pa.timestamp("us"), mask=mask)
+        if c.ctype in (MYSQL_TYPE_DATE, MYSQL_TYPE_NEWDATE):
+            return pa.array(vals.astype(np.int32), type=pa.date32(), mask=mask)
+        if c.ctype == MYSQL_TYPE_NEWDECIMAL:
+            prec, scale = c.meta
+            dtype_dec = pa.decimal128(prec, scale)
+            if vals.dtype == object:  # wide: exact Python ints
+                from decimal import Context, Decimal
+
+                # scaleb under an explicit 38-digit context: the DEFAULT
+                # context rounds to 28 significant digits
+                ctx = Context(prec=38)
+                return pa.array(
+                    [
+                        None if nz else Decimal(int(v)).scaleb(-scale, ctx)
+                        for v, nz in zip(vals, nulls)
+                    ],
+                    type=dtype_dec,
+                )
+            # scaled int64 -> decimal128 storage: LE 128-bit two's
+            # complement = (low limb, sign extension)
+            limbs = np.empty((n_rows, 2), dtype="<i8")
+            limbs[:, 0] = vals
+            limbs[:, 1] = vals >> 63
+            base = pa.Array.from_buffers(
+                dtype_dec, n_rows, [None, pa.py_buffer(limbs)]
+            )
+            if nulls.any():
+                import pyarrow.compute as pc
+
+                base = pc.if_else(pa.array(~nulls), base, pa.nulls(n_rows, dtype_dec))
+            return base
+        if c.ctype == MYSQL_TYPE_STRING and c.enum_values:
+            import pyarrow.compute as pc
+
+            lut = pa.array([None] + list(c.enum_values), type=pa.string())
+            idx = np.where(nulls, 0, vals).astype(np.int64)
+            return pc.take(lut, pa.array(idx))
+        if c.ctype == MYSQL_TYPE_STRING and c.set_values:
+            # SET bitmask -> comma-joined member names (bit i -> member i,
+            # MySQL's textual convention); loop is over MEMBERS (<= 64),
+            # rows stay vectorized
+            joined = np.full(n_rows, "", dtype=object)
+            for i, member in enumerate(c.set_values):
+                has = ((vals >> i) & 1).astype(bool)
+                sep = np.where(joined == "", "", ",")
+                joined = np.where(has, joined + sep + member, joined)
+            return pa.array(joined, type=pa.string(), mask=mask)
+        return pa.array(vals, mask=mask)
+
     spark = raw_df.sparkSession
     b_registry = spark.sparkContext.broadcast(registry)
+    known_ids = frozenset(known_table_ids) if known_table_ids is not None else None
 
     def _decode(batches):
         from binlogsub_spark.codec import _binary_buffers
@@ -1482,127 +1874,64 @@ def decode_mysql_events(
             for tid in np.unique(table_ids):
                 tm = reg.get(int(tid))
                 if tm is None:
-                    continue  # rows for an unmapped table: skip (scope filter)
-                g = ridx[table_ids == tid]
-                dec = decode_rows_frames(
-                    data, starts[g], ends[g], tcodes[g], tm, checksum=checksum
-                )
-                fi = dec["frame_idx"]
-                n_rows = len(fi)
-                if n_rows == 0:
-                    continue
-                cols_out = {
-                    "file_seq": pa.array(file_seq[g][fi].astype("int32")),
-                    "log_pos": pa.array(log_pos[g][fi].astype("int64")),
-                    "op": pa.array(dec["op"], type=pa.string()),
-                }
-                by_name = {c.name: c for c in tm.columns}
-                for uc in union_cols:
-                    c = by_name.get(uc.name, uc)
-                    packed = dec.get(c.name)
-                    if packed is None:
-                        # column absent from this table epoch (or not
-                        # present in the row image): schema-union backfill
-                        cols_out[uc.name] = _pa_nulls(n_rows, uc.spark_type())
-                        continue
-                    if len(packed) == 4:  # ("varlen", buf, lens, nulls)
-                        _, buf, lens, nulls = packed
-                        off = np.zeros(n_rows + 1, dtype=np.int64)
-                        np.cumsum(lens, out=off[1:])
-                        if int(off[-1]) > np.iinfo(np.int32).max:
-                            # int32 Arrow offsets would silently wrap into
-                            # corrupt slices; a >2 GiB varlen column in ONE
-                            # batch means maxRecordsPerBatch is set far too
-                            # high for the payload — refuse loudly.
+                    if known_ids is not None and int(tid) not in known_ids:
+                        # NOT the scope filter: the table map was never seen
+                        # (lost mid-restart?) — dropping silently would be
+                        # unrecoverable data loss
+                        if on_error == "raise":
                             raise ValueError(
-                                f"column {c.name!r}: {int(off[-1])} varlen bytes "
-                                "in one Arrow batch exceeds the 2 GiB int32-"
-                                "offset limit; lower spark.sql.execution."
-                                "arrow.maxRecordsPerBatch"
+                                f"rows-event for unknown table_id {int(tid)}: "
+                                "table map missing from registry and cache"
                             )
-                        atype = (
-                            pa.binary() if c.ctype == MYSQL_TYPE_BLOB else pa.string()
+                    continue  # out-of-scope (known) or skip-mode unknown
+                g_all = ridx[table_ids == tid]
+                # sub-group by bitmap signature: each sub-group is uniform,
+                # so MINIMAL/NOBLOB images decode alongside FULL ones
+                try:
+                    sig = _rows_signatures(
+                        data, starts[g_all], tcodes[g_all], len(tm.columns)
+                    )
+                    _, inv = np.unique(sig, axis=0, return_inverse=True)
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    continue  # malformed prefixes: drop the tid group
+                for si in range(int(inv.max()) + 1):
+                    g = g_all[inv == si]
+                    try:
+                        dec = decode_rows_frames(
+                            data, starts[g], ends[g], tcodes[g], tm,
+                            checksum=checksum, include_before=include_before,
                         )
-                        base = pa.Array.from_buffers(
-                            atype, n_rows,
-                            [None, pa.py_buffer(off.astype(np.int32)), pa.py_buffer(buf)],
-                        )
-                        if nulls.any():
-                            import pyarrow.compute as pc
-
-                            base = pc.if_else(pa.array(~nulls), base, pa.nulls(n_rows, atype))
-                        cols_out[c.name] = base
+                    except ValueError:
+                        if on_error == "raise":
+                            raise
+                        continue  # semantic failure: sub-group dropped
+                    fi = dec["frame_idx"]
+                    n_rows = len(fi)
+                    if n_rows == 0:
                         continue
-                    vals, nulls = packed
-                    mask = nulls if nulls.any() else None
-                    if c.ctype in (
-                        MYSQL_TYPE_DATETIME2,
-                        MYSQL_TYPE_TIMESTAMP2,
-                        MYSQL_TYPE_DATETIME,
-                        MYSQL_TYPE_TIMESTAMP,
-                    ):
-                        cols_out[c.name] = pa.array(
-                            vals, type=pa.timestamp("us"), mask=mask
-                        )
-                    elif c.ctype in (MYSQL_TYPE_DATE, MYSQL_TYPE_NEWDATE):
-                        cols_out[c.name] = pa.array(
-                            vals.astype(np.int32), type=pa.date32(), mask=mask
-                        )
-                    elif c.ctype == MYSQL_TYPE_NEWDECIMAL:
-                        prec, scale = c.meta
-                        dtype_dec = pa.decimal128(prec, scale)
-                        if vals.dtype == object:  # wide: exact Python ints
-                            from decimal import Context, Decimal
-
-                            # scaleb under an explicit 38-digit context: the
-                            # DEFAULT context rounds to 28 significant digits
-                            ctx = Context(prec=38)
-                            cols_out[c.name] = pa.array(
-                                [
-                                    None
-                                    if nz
-                                    else Decimal(int(v)).scaleb(-scale, ctx)
-                                    for v, nz in zip(vals, nulls)
-                                ],
-                                type=dtype_dec,
-                            )
-                        else:
-                            # scaled int64 -> decimal128 storage: LE 128-bit
-                            # two's complement = (low limb, sign extension)
-                            limbs = np.empty((n_rows, 2), dtype="<i8")
-                            limbs[:, 0] = vals
-                            limbs[:, 1] = vals >> 63
-                            base = pa.Array.from_buffers(
-                                dtype_dec, n_rows, [None, pa.py_buffer(limbs)]
-                            )
-                            if nulls.any():
-                                import pyarrow.compute as pc
-
-                                base = pc.if_else(
-                                    pa.array(~nulls), base, pa.nulls(n_rows, dtype_dec)
+                    cols_out = {
+                        "file_seq": pa.array(file_seq[g][fi].astype("int32")),
+                        "log_pos": pa.array(log_pos[g][fi].astype("int64")),
+                        "op": pa.array(dec["op"], type=pa.string()),
+                    }
+                    by_name = {c.name: c for c in tm.columns}
+                    for prefix in ("", "_before_") if include_before else ("",):
+                        for uc in union_cols:
+                            c = by_name.get(uc.name, uc)
+                            packed = dec.get(prefix + c.name)
+                            if packed is None:
+                                # column absent from this table epoch or not
+                                # present in the row image: schema-union /
+                                # partial-image backfill
+                                cols_out[prefix + uc.name] = _pa_nulls(
+                                    n_rows, uc.spark_type()
                                 )
-                            cols_out[c.name] = base
-                    elif c.ctype == MYSQL_TYPE_STRING and c.enum_values:
-                        import pyarrow.compute as pc
-
-                        lut = pa.array([None] + list(c.enum_values), type=pa.string())
-                        idx = np.where(nulls, 0, vals).astype(np.int64)
-                        taken = pc.take(lut, pa.array(idx))
-                        cols_out[c.name] = taken
-                    elif c.ctype == MYSQL_TYPE_STRING and c.set_values:
-                        # SET bitmask -> comma-joined member names (bit i ->
-                        # member i, MySQL's textual convention); loop is over
-                        # MEMBERS (<= 64), rows stay vectorized
-                        joined = np.full(n_rows, "", dtype=object)
-                        for i, member in enumerate(c.set_values):
-                            has = ((vals >> i) & 1).astype(bool)
-                            sep = np.where(joined == "", "", ",")
-                            joined = np.where(has, joined + sep + member, joined)
-                        cols_out[c.name] = pa.array(
-                            joined, type=pa.string(), mask=mask
-                        )
-                    else:
-                        cols_out[c.name] = pa.array(vals, mask=mask)
-                yield pa.RecordBatch.from_pydict(cols_out)
+                            else:
+                                cols_out[prefix + uc.name] = _assemble_col(
+                                    c, packed, n_rows
+                                )
+                    yield pa.RecordBatch.from_pydict(cols_out)
 
     return raw_df.mapInArrow(_decode, schema=out_schema)

@@ -92,26 +92,30 @@ def apply_batch(
     events: DataFrame,
     batch_id: int,
     cfg: EngineConfig | None = None,
+    persist_source: bool = False,
 ) -> dict:
     """One micro-batch: returns metrics incl. applied/skipped accounting
     (T2-T4 — the reference checkpoints before each row,
     /root/reference/packet.cc:207-210; we commit offsets atomically WITH
-    the merge by writing them into the same snapshot manifest)."""
-    cfg = cfg or EngineConfig()
+    the merge by writing them into the same snapshot manifest).
 
-    # Cache the micro-batch so the source is scanned ONCE: the per-file_seq
-    # lineage job materializes the cache, the merge job reads it back. A
-    # micro-batch is bounded (maxFilesPerTrigger), so MEMORY_AND_DISK is
-    # safe at any scale — vs. the alternative of re-scanning the source
-    # (a doubled 100 TB read per batch).
+    The per-file_seq lineage job reads ONLY (file_seq, log_pos) — for a
+    columnar source that scan is column-pruned and nearly free, so the
+    default is two scans (tiny pruned + full) rather than caching the
+    whole micro-batch through the block store. ``persist_source=True``
+    is for callers whose input is an EXPENSIVE computed plan (e.g. an
+    in-flight encode), where recomputation would dominate."""
+    cfg = cfg or EngineConfig()
     from pyspark import StorageLevel
 
-    events.persist(StorageLevel.MEMORY_AND_DISK)
+    if persist_source:
+        events.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         # per-file_seq offset frontier + counts (the per-partition lineage
-        # of the north rule).
+        # of the north rule) — pruned projection, never the payload columns
         per_file = (
-            events.groupBy("file_seq")
+            events.select("file_seq", "log_pos")
+            .groupBy("file_seq")
             .agg(F.max("log_pos").alias("max_log_pos"), F.count("*").alias("events"))
             .collect()
         )
@@ -127,7 +131,8 @@ def apply_batch(
             partials, batch_id=batch_id, watermark=watermark, pre_reduced=True
         )
     finally:
-        events.unpersist(blocking=False)
+        if persist_source:
+            events.unpersist(blocking=False)
     applied = res["applied"]
     if (
         cfg.compact_every
@@ -240,23 +245,28 @@ def apply_raw_batch(
     raw_events: DataFrame,
     batch_id: int,
     cfg: EngineConfig | None = None,
+    persist_source: bool = False,
 ) -> dict:
     """Raw wire path: payload:binary -> Arrow decode -> scope filter ->
     salted partial LWW -> MERGE. The per-partition lineage stats come from
     the framed header columns (file_seq/log_pos), which the source carries
-    OUTSIDE the payload — so the stats job never pays the decode."""
+    OUTSIDE the payload — so the stats job reads a column-pruned
+    projection and NEVER touches the payload bytes (round-2 persisted the
+    full binary column through the block store just for this count,
+    tripling per-event cost); the decode job is the only reader of the
+    payload. ``persist_source=True`` restores caching for callers whose
+    input is an expensive computed plan."""
     from pyspark import StorageLevel
 
     from binlogsub_spark.codec import decode_raw_events
 
     cfg = cfg or EngineConfig()
-    # One source scan per micro-batch: the lineage job materializes the
-    # cache (payload bytes included — the merge job's decode reads them
-    # back from cache instead of re-reading the source).
-    raw_events.persist(StorageLevel.MEMORY_AND_DISK)
+    if persist_source:
+        raw_events.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         per_file = (
-            raw_events.groupBy("file_seq")
+            raw_events.select("file_seq", "log_pos")
+            .groupBy("file_seq")
             .agg(F.max("log_pos").alias("max_log_pos"), F.count("*").alias("events"))
             .collect()
         )
@@ -272,7 +282,8 @@ def apply_raw_batch(
             partials, batch_id=batch_id, watermark=watermark, pre_reduced=True
         )
     finally:
-        raw_events.unpersist(blocking=False)
+        if persist_source:
+            raw_events.unpersist(blocking=False)
     applied = res["applied"]
     if (
         cfg.compact_every
@@ -372,20 +383,32 @@ def override_columns_by_table(registry: dict, mapping: dict) -> dict:
 def mysql_decoded_to_upserts(decoded: DataFrame, cfg: EngineConfig) -> DataFrame:
     """decode_mysql_events output -> upsert rows (version columns from the
     frame positions; delete payloads nulled — the key comes from the
-    delete's before image, which IS the decoded image for op='D')."""
+    delete's before image, which IS the decoded image for op='D').
+
+    Configured columns absent from the decode (a batch whose only tables
+    were out of scope / undecodable has NO user columns at all) backfill
+    as typed NULLs so the merge still commits — advancing the watermark
+    over a content-free batch instead of crashing on resolution."""
+    have = set(decoded.columns)
+
+    def _c(name: str, cast: str):
+        return (F.col(name) if name in have else F.lit(None)).cast(cast)
+
     is_del = F.col("op") == OP_DELETE
     payload = [
-        F.when(~is_del, F.col(c)).alias(c)
+        F.when(~is_del, _c(c, "string")).alias(c)
         for c in cfg.scope.column_names
         if c not in ("conv_id", "turn_idx", "ts")
     ]
+    if "gtid" in have:  # optional transaction lineage column
+        payload.append(F.col("gtid"))
     return decoded.select(
-        F.col("conv_id"),
-        F.col("turn_idx").cast("int").alias("turn_idx"),
+        _c("conv_id", "string").alias("conv_id"),
+        _c("turn_idx", "int").alias("turn_idx"),
         *payload,
-        F.col("ts"),
+        _c("ts", "timestamp").alias("ts"),
         F.col("op").alias("_op"),
-        F.col("ts").alias("_ts"),
+        _c("ts", "timestamp").alias("_ts"),
         F.col("file_seq").alias("_file_seq"),
         F.col("log_pos").alias("_log_pos"),
     )
@@ -399,21 +422,41 @@ def apply_mysql_batch(
     registry: dict | None = None,
     name_map: dict | None = None,
     checksum: bool = True,
+    registry_cache: dict | None = None,
+    dead_letter_path: str | None = None,
+    persist_source: bool = False,
+    gtid_lineage: bool = False,
 ) -> dict:
     """One micro-batch of GENUINE MySQL binlog frames: registry extract (or
     reuse a pre-extracted one — cheaper per batch) -> scope filter at the
     registry level -> broadcast -> vectorized wave decode -> salted LWW ->
     COW MERGE. Frame counts in lineage include control events (table maps
-    etc.), matching how binlog positions advance over them."""
+    etc.), matching how binlog positions advance over them.
+
+    ``registry_cache`` (a mutable dict) persists table maps ACROSS
+    micro-batches — the reference's table-map cache (packet.cc:194-200):
+    a batch that lost its TABLE_MAP frames to a restart still decodes,
+    and genuinely-unknown table_ids become detectable instead of
+    silently dropped. ``dead_letter_path`` routes structurally corrupt
+    AND semantically undecodable frames (unknown table_id, width
+    mismatch, unsupported type) to a reason-coded parquet sink before
+    decode; metrics then carry a ``dead_letter`` count."""
     from pyspark import StorageLevel
 
-    from binlogsub_spark.mysql_binlog import decode_mysql_events, extract_table_maps
+    from binlogsub_spark.mysql_binlog import (
+        decode_mysql_events,
+        extract_table_maps,
+        split_deadletter_mysql,
+    )
 
     cfg = cfg or EngineConfig()
-    raw_frames.persist(StorageLevel.MEMORY_AND_DISK)
+    if persist_source:
+        raw_frames.persist(StorageLevel.MEMORY_AND_DISK)
+    dead_count = None
     try:
         per_file = (
-            raw_frames.groupBy("file_seq")
+            raw_frames.select("file_seq", "log_pos")
+            .groupBy("file_seq")
             .agg(F.max("log_pos").alias("max_log_pos"), F.count("*").alias("events"))
             .collect()
         )
@@ -425,13 +468,40 @@ def apply_mysql_batch(
 
         if registry is None:
             registry = extract_table_maps(raw_frames, checksum=checksum)
+            if registry_cache is not None:
+                registry_cache.update(registry)
+                registry = dict(registry_cache)
+        known_ids = set(registry)
         registry = scope_registry(registry, cfg)
         overrides = (
             override_columns_by_table(registry, name_map) if name_map else None
         )
+        decode_src, skip_invalid = raw_frames, True
+        if dead_letter_path is not None:
+            from pyspark.sql import Observation
+
+            valid, dead = split_deadletter_mysql(
+                raw_frames, checksum=checksum,
+                registry=registry, known_table_ids=known_ids,
+            )
+            obs = Observation()
+            dead = dead.observe(obs, F.count(F.lit(1)).alias("n"))
+            dead.write.mode("append").parquet(dead_letter_path)
+            dead_count = obs.get["n"]
+            decode_src, skip_invalid = valid, False  # already fully verified
         decoded = decode_mysql_events(
-            raw_frames, registry, column_overrides=overrides, checksum=checksum
+            decode_src, registry, column_overrides=overrides, checksum=checksum,
+            skip_invalid=skip_invalid, known_table_ids=known_ids,
         )
+        if gtid_lineage:
+            # tag each decoded row with its transaction's GTID (the last
+            # GTID event at-or-before it) — the "GTID+log-position
+            # ordering" of the north rule carried into the lake as lineage
+            from binlogsub_spark.mysql_binlog import assign_gtids, extract_gtids
+
+            decoded = assign_gtids(
+                decoded, extract_gtids(raw_frames, checksum=checksum)
+            )
         partials = partial_lww_reduce(
             mysql_decoded_to_upserts(decoded, cfg), salt=cfg.skew_salt
         )
@@ -439,7 +509,8 @@ def apply_mysql_batch(
             partials, batch_id=batch_id, watermark=watermark, pre_reduced=True
         )
     finally:
-        raw_frames.unpersist(blocking=False)
+        if persist_source:
+            raw_frames.unpersist(blocking=False)
     applied = res["applied"]
     if (
         cfg.compact_every
@@ -454,7 +525,7 @@ def apply_mysql_batch(
             for r in per_file
         ]
     )
-    return {
+    metrics = {
         "batch_id": batch_id,
         "events": total,
         "applied": applied,
@@ -462,6 +533,9 @@ def apply_mysql_batch(
         "replayed": res["replayed"],
         "snapshot_id": res["snapshot_id"],
     }
+    if dead_count is not None:
+        metrics["dead_letter"] = dead_count
+    return metrics
 
 
 def run_stream_mysql(
@@ -474,11 +548,19 @@ def run_stream_mysql(
     max_files_per_trigger: int = 4,
     available_now: bool = True,
     checksum: bool = True,
+    dead_letter_path: str | None = None,
 ):
     """Structured Streaming over a table of genuine MySQL binlog frames —
-    the FULL reference-equivalent path, end to end: every file carries its
-    TABLE_MAP control frames at the head, so any micro-batch (including
-    one after a restart) can rebuild its registry from its own frames."""
+    the FULL reference-equivalent path, end to end. The table-map registry
+    is CACHED across micro-batches and persisted next to the checkpoint
+    (table_maps.json, atomic rename), so a batch whose TABLE_MAP frames
+    arrived earlier — or before a kill/restart — still decodes; the
+    reference keeps the same cache in memory keyed off its Redis position
+    (packet.cc:194-200)."""
+    import os
+    import tempfile
+
+    from binlogsub_spark.mysql_binlog import registry_from_json, registry_to_json
     from binlogsub_spark.plans.envelope import RAW_SCHEMA
 
     cfg = cfg or EngineConfig()
@@ -488,10 +570,22 @@ def run_stream_mysql(
         .parquet(source_path)
     )
 
+    maps_path = os.path.join(checkpoint_dir, "table_maps.json")
+    registry_cache: dict = {}
+    if os.path.exists(maps_path):
+        with open(maps_path) as f:
+            registry_cache.update(registry_from_json(f.read()))
+
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         apply_mysql_batch(
-            table, batch_df, batch_id, cfg, name_map=name_map, checksum=checksum
+            table, batch_df, batch_id, cfg, name_map=name_map, checksum=checksum,
+            registry_cache=registry_cache, dead_letter_path=dead_letter_path,
         )
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=checkpoint_dir, suffix=".maps")
+        with os.fdopen(fd, "w") as f:
+            f.write(registry_to_json(registry_cache))
+        os.replace(tmp, maps_path)  # atomic: readers never see a torn file
 
     writer = reader.writeStream.foreachBatch(_apply).option(
         "checkpointLocation", checkpoint_dir

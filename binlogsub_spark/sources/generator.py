@@ -307,6 +307,7 @@ def write_mysql_binlog_files(
     dir_path: str,
     params: GeneratorParams = GeneratorParams(),
     checksum: bool = True,
+    gtids: bool = False,
 ) -> list[str]:
     """REAL .binlog files: 0xfe'bin' magic, then back-to-back frames —
     FORMAT_DESCRIPTION (carrying the checksum-algorithm byte), the table
@@ -321,6 +322,7 @@ def write_mysql_binlog_files(
         UPDATE_ROWS_EVENT_V2,
         WRITE_ROWS_EVENT_V2,
         encode_format_description,
+        encode_gtid,
         encode_rows_event,
         encode_table_map,
     )
@@ -355,6 +357,12 @@ def write_mysql_binlog_files(
             row.append(r["ts"])
             img = tuple(row)
             images = [(img, img)] if r["op"] == "U" else [img]
+            if gtids:
+                # one transaction per change: GTID_LOG_EVENT ahead of each
+                # rows-event, gno = delivery_seq + 1 (gnos start at 1)
+                frames.append(encode_gtid(
+                    b"\x12" * 16, int(r["delivery_seq"]) + 1, checksum=checksum
+                ))
             frames.append(encode_rows_event(op_event[r["op"]], tm, images, checksum=checksum))
         path = os.path.join(dir_path, f"binlog.{seq:06d}")
         with open(path, "wb") as f:

@@ -584,3 +584,171 @@ def test_wide_decimal_exactness_property(scaled, prec_extra):
     got, size = _decode_newdecimal_wide(data, np.zeros(1, dtype=np.int64), prec, scale)
     assert size == len(buf)
     assert int(got[0]) == scaled
+
+
+def _small_tmap(tid=31):
+    return TableMap(
+        table_id=tid, db="test", table="mini",
+        columns=[
+            MysqlColumn("pk", MYSQL_TYPE_LONGLONG, nullable=False),
+            MysqlColumn("a", MYSQL_TYPE_LONG),
+            MysqlColumn("txt", MYSQL_TYPE_VARCHAR, meta=40),
+            MysqlColumn("v", MYSQL_TYPE_DOUBLE, meta=8),
+        ],
+    )
+
+
+def _frames_df(spark, frames, tmaps=()):
+    from binlogsub_spark.mysql_binlog import encode_table_map
+
+    all_frames = [encode_table_map(t) for t in tmaps] + list(frames)
+    return spark.createDataFrame(
+        [(0, i, bytearray(f)) for i, f in enumerate(all_frames)],
+        "file_seq INT, log_pos LONG, payload BINARY",
+    )
+
+
+def test_update_before_image_emitted(spark):
+    """include_before: genuine UPDATE frames yield _before_* columns with
+    before != after (row.h:40-41 old_columns parity); I/D rows get nulls."""
+    tm = _small_tmap()
+    frames = [
+        encode_rows_event(WRITE_ROWS_EVENT_V2, tm, [(1, 10, "first", 0.5)]),
+        encode_rows_event(
+            UPDATE_ROWS_EVENT_V2, tm,
+            [((2, 20, "old", 1.0), (2, 21, "new", 2.0)),
+             ((3, None, "o3", 3.0), (3, 33, None, None))],
+        ),
+        encode_rows_event(DELETE_ROWS_EVENT_V2, tm, [(4, 40, "gone", 4.0)]),
+    ]
+    got = (
+        decode_mysql_events(
+            _frames_df(spark, frames), registry={31: tm}, include_before=True
+        )
+        .orderBy("pk")
+        .collect()
+    )
+    assert [r["op"] for r in got] == ["I", "U", "U", "D"]
+    r1, r2, r3, r4 = got
+    assert r1["_before_pk"] is None and r1["txt"] == "first"
+    assert (r2["_before_a"], r2["a"]) == (20, 21)
+    assert (r2["_before_txt"], r2["txt"]) == ("old", "new")
+    assert (r2["_before_v"], r2["v"]) == (1.0, 2.0)
+    assert r3["_before_a"] is None and r3["a"] == 33
+    assert r3["_before_txt"] == "o3" and r3["txt"] is None
+    assert r4["_before_pk"] is None and r4["txt"] == "gone"
+
+
+def test_minimal_row_image_decodes(spark):
+    """binlog_row_image=MINIMAL: partial present bitmaps (and before/after
+    bitmaps that DIFFER on updates) decode as their own uniform sub-groups
+    — absent columns are NULL, nothing aborts (r2 VERDICT item 7 /
+    ADVICE image_mismatch fix)."""
+    tm = _small_tmap()
+    frames = [
+        # FULL write + MINIMAL write (only pk, a) in the SAME batch
+        encode_rows_event(WRITE_ROWS_EVENT_V2, tm, [(1, 10, "full", 1.0)]),
+        encode_rows_event(WRITE_ROWS_EVENT_V2, tm, [(2, 20, None, None)],
+                          present=[0, 1]),
+        # MINIMAL update: before = key only, after = key + changed cols
+        encode_rows_event(
+            UPDATE_ROWS_EVENT_V2, tm,
+            [((3, None, None, None), (3, None, "changed", None))],
+            present=[0], present2=[0, 2],
+        ),
+    ]
+    got = (
+        decode_mysql_events(
+            _frames_df(spark, frames), registry={31: tm}, include_before=True
+        )
+        .orderBy("pk")
+        .collect()
+    )
+    assert [r["op"] for r in got] == ["I", "I", "U"]
+    assert (got[0]["txt"], got[0]["v"]) == ("full", 1.0)
+    assert (got[1]["a"], got[1]["txt"], got[1]["v"]) == (20, None, None)
+    assert (got[2]["pk"], got[2]["txt"], got[2]["a"]) == (3, "changed", None)
+    assert got[2]["_before_pk"] == 3 and got[2]["_before_txt"] is None
+
+
+def test_semantic_deadletter_and_unknown_tid(spark):
+    """Unknown table_id (lost map), width mismatch, and unsupported column
+    types dead-letter with reasons instead of aborting; the scope-filtered
+    KNOWN id stays on the valid side (ADVICE r2 items 1-2)."""
+    from binlogsub_spark.mysql_binlog import MYSQL_TYPE_JSON, split_deadletter_mysql
+
+    tm = _small_tmap(31)
+    scoped_out = _small_tmap(77)  # known but filtered out of scope
+    json_tm = TableMap(
+        table_id=55, db="test", table="j",
+        columns=[MysqlColumn("pk", MYSQL_TYPE_LONGLONG),
+                 MysqlColumn("doc", MYSQL_TYPE_JSON)],
+    )
+    wrong_width = TableMap(
+        table_id=31, db="test", table="mini",
+        columns=tm.columns[:2],  # encoder writes width=2, registry says 4
+    )
+    frames = [
+        encode_rows_event(WRITE_ROWS_EVENT_V2, tm, [(1, 10, "ok", 1.0)]),
+        # table_id 99 was never mapped anywhere -> unknown_table_id
+        encode_rows_event(
+            WRITE_ROWS_EVENT_V2, _small_tmap(99), [(2, 20, "lost", 2.0)]
+        ),
+        # known-but-out-of-scope id stays valid (decoder just skips it)
+        encode_rows_event(WRITE_ROWS_EVENT_V2, scoped_out, [(3, 30, "x", 3.0)]),
+        # a JSON column the decoder cannot type -> unsupported_type
+        encode_rows_event(WRITE_ROWS_EVENT_V2, json_tm, [(4, b"\x00")],
+                          present=[0]),
+        # width mismatch vs the registry's 4-column map
+        encode_rows_event(WRITE_ROWS_EVENT_V2, wrong_width, [(5, 50)]),
+    ]
+    df = _frames_df(spark, frames)
+    registry = {31: tm, 55: json_tm}
+    known = {31, 55, 77}
+    valid, dead = split_deadletter_mysql(
+        df, registry=registry, known_table_ids=known
+    )
+    reasons = {r["log_pos"]: r["_reason"] for r in dead.collect()}
+    assert reasons == {
+        1: "unknown_table_id",
+        3: "unsupported_type",
+        4: "width_mismatch",
+    }
+    # the whole batch still decodes: one good row, nothing raises
+    got = decode_mysql_events(
+        valid, registry, skip_invalid=False, known_table_ids=known
+    ).collect()
+    assert [(r["pk"], r["txt"]) for r in got] == [(1, "ok")]
+    # decode alone (no demux) also survives the same soup silently
+    got2 = decode_mysql_events(df, registry, known_table_ids=known).collect()
+    assert [(r["pk"], r["txt"]) for r in got2] == [(1, "ok")]
+    # ... but on_error='raise' surfaces the unknown table id
+    with pytest.raises(Exception, match="unknown table_id"):
+        decode_mysql_events(
+            df, registry, known_table_ids=known, on_error="raise"
+        ).collect()
+
+
+def test_registry_json_roundtrip():
+    from binlogsub_spark.mysql_binlog import (
+        MYSQL_TYPE_SET,
+        registry_from_json,
+        registry_to_json,
+    )
+
+    tm = _small_tmap()
+    tm2 = TableMap(
+        table_id=8, db="d", table="s",
+        columns=[
+            MysqlColumn("e", MYSQL_TYPE_STRING, meta=(MYSQL_TYPE_ENUM, 1),
+                        enum_values=("a", "b")),
+            MysqlColumn("s", MYSQL_TYPE_STRING, meta=(MYSQL_TYPE_SET, 1),
+                        set_values=("x", "y")),
+            MysqlColumn("wd", MYSQL_TYPE_NEWDECIMAL, meta=(30, 10)),
+        ],
+    )
+    reg = {31: tm, 8: tm2}
+    back = registry_from_json(registry_to_json(reg))
+    assert set(back) == {31, 8}
+    for tid in reg:
+        assert back[tid] == reg[tid]

@@ -218,3 +218,117 @@ def test_mysql_frames_deadletter_and_resilient_decode(spark, tmp_path):
     n_ok = decode_mysql_events(corrupted, reg, column_overrides=ov, checksum=True).count()
     n_all = decode_mysql_events(raw, reg, column_overrides=ov, checksum=True).count()
     assert 0 < n_ok < n_all
+
+
+def test_registry_cache_across_batches(spark, tmp_path):
+    """A micro-batch WITHOUT its TABLE_MAP frames (restart mid-file) still
+    decodes via the cross-batch registry cache — the reference's table-map
+    cache (packet.cc:194-200); without the cache those rows were silently
+    dropped (ADVICE r2 finding 1)."""
+    from binlogsub_spark.mysql_binlog import (
+        encode_rows_df,
+        registry_from_json,
+    )
+    from binlogsub_spark.sources.generator import transcripts_table_maps
+
+    tmaps = transcripts_table_maps()
+    events = generate_binlog(spark, GeneratorParams(n_events=1500, n_convs=40, dup_tail=0))
+    from binlogsub_spark.plans.envelope import OP_INSERT  # noqa: F401  (doc)
+    flat = events.select(
+        "file_seq", "log_pos",
+        F.lit("I").alias("op"),
+        F.lit(12).alias("table_id"),
+        F.col("after.conv_id").alias("conv_id"),
+        F.col("after.turn_idx").cast("long").alias("turn_idx"),
+        F.lit(1).cast("long").alias("role"),
+        F.col("after.text").alias("text"),
+        F.lit(None).cast("long").alias("tool"),
+        F.col("after.ts").alias("ts"),
+    ).where(F.col("conv_id").isNotNull())
+    # generator log_pos = 4 + k*128: split on the alternating residue
+    half = flat.where(F.col("log_pos") % 256 == 4)
+    other = flat.where(F.col("log_pos") % 256 != 4)
+    with_maps = encode_rows_df(
+        half, tmaps[12], rows_per_event=1, checksum=True,
+        file_seq_col="file_seq", log_pos_col="log_pos", tmaps=tmaps,
+    )
+    NO_maps = encode_rows_df(
+        other, tmaps[12], rows_per_event=1, checksum=True,
+        file_seq_col="file_seq", log_pos_col="log_pos", tmaps=tmaps,
+        include_table_map=False,
+    )
+    cache: dict = {}
+    table = LakeTable(spark, str(tmp_path / "tbl"), buckets=8)
+    m1 = apply_mysql_batch(
+        table, with_maps, batch_id=1, cfg=EngineConfig(),
+        name_map=_name_map(), registry_cache=cache,
+    )
+    assert m1["applied"] > 0 and set(cache) >= {11, 12}
+    # batch 2 has NO table-map frames: only the cache makes it decodable
+    m2 = apply_mysql_batch(
+        table, NO_maps, batch_id=2, cfg=EngineConfig(),
+        name_map=_name_map(), registry_cache=cache,
+    )
+    assert m2["applied"] > 0
+    total = table.read().count()
+    assert total == flat.select("conv_id", "turn_idx").distinct().count()
+    # WITHOUT the cache the same batch applies nothing (and with the new
+    # known-id accounting it is at least detectable, not silent)
+    t2 = LakeTable(spark, str(tmp_path / "tbl2"), buckets=8)
+    m3 = apply_mysql_batch(
+        t2, NO_maps, batch_id=1, cfg=EngineConfig(), name_map=_name_map()
+    )
+    assert m3["applied"] == 0
+
+
+def test_stream_persists_table_map_cache(spark, tmp_path):
+    """run_stream_mysql persists the registry cache next to the checkpoint
+    (atomic table_maps.json) and a restarted stream reloads it."""
+    from binlogsub_spark.mysql_binlog import registry_from_json
+
+    src = str(tmp_path / "mysqllog")
+    write_mysql_binlog(
+        spark, src, GeneratorParams(n_events=1000, n_convs=30, dup_tail=0), n_files=4
+    )
+    table = LakeTable(spark, str(tmp_path / "tbl"), buckets=8)
+    ckpt = str(tmp_path / "ckpt")
+    q = run_stream_mysql(
+        spark, src, table, ckpt, cfg=EngineConfig(), name_map=_name_map(),
+        max_files_per_trigger=2,
+    )
+    q.awaitTermination(300)
+    import os
+
+    maps_path = os.path.join(ckpt, "table_maps.json")
+    assert os.path.exists(maps_path)
+    reloaded = registry_from_json(open(maps_path).read())
+    assert set(reloaded) >= {11, 12}
+    assert [c.name for c in reloaded[12].columns][:2] == ["col0", "col1"]
+
+
+def test_gtid_lineage_end_to_end(spark, tmp_path):
+    """GTID_LOG_EVENT frames in the stream tag every applied row with its
+    transaction's GTID (as-of assignment on (file_seq, log_pos)) — the
+    north rule's 'GTID+log-position ordering' carried into the lake as a
+    lineage column."""
+    from binlogsub_spark.sources.generator import write_mysql_binlog_files
+
+    params = GeneratorParams(n_events=1200, n_convs=40, dup_tail=0)
+    d = str(tmp_path / "binlogs")
+    write_mysql_binlog_files(spark, d, params, checksum=True, gtids=True)
+    from binlogsub_spark.mysql_binlog import binlog_files_to_frames
+
+    frames = binlog_files_to_frames(spark, d)
+    table = LakeTable(spark, str(tmp_path / "t"), buckets=8)
+    m = apply_mysql_batch(
+        table, frames, batch_id=1, cfg=EngineConfig(), name_map=_name_map(),
+        gtid_lineage=True,
+    )
+    assert m["applied"] > 0
+    rows = table.read().select("conv_id", "turn_idx", "gtid").collect()
+    assert all(r["gtid"] is not None for r in rows)
+    sid = "12121212-1212-1212-1212-121212121212"
+    gnos = [r["gtid"] for r in rows]
+    assert all(g.startswith(sid + ":") for g in gnos)
+    # one transaction per change, gnos unique across applied winners
+    assert len(set(gnos)) == len(gnos)
