@@ -242,6 +242,25 @@ def q_dedup_embedding_cosine(spark, sf):
     )
 
 
+def q_dedup_clusters(spark, sf):
+    """Connected components over MinHash-LSH near-dup pairs -> per-doc
+    cluster assignment (min-label propagation, functions/dedup.py:
+    dedup_clusters) — the stage that turns pair detectors into "keep one
+    doc per duplicate CLUSTER" (transitive closure: a~b, b~c collapse to
+    one keeper even when a~c was never emitted). Oracle: DuckDB
+    WITH RECURSIVE transitive closure over the SAME md5-family pair SQL."""
+    from binlogsub_spark.functions.dedup import dedup_clusters, minhash_lsh_pairs
+
+    d = _t(spark, sf, "documents")
+    pairs = minhash_lsh_pairs(d, threshold=0.05, hash_fn="md5")
+    out = dedup_clusters(d, pairs)
+    return out.select(
+        "doc_id", "cluster_id",
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        "is_canonical",
+    )
+
+
 def q_similarity_cosine_topk(spark, sf):
     """Exact brute-force cosine top-5 for query vectors (vec_id < 20),
     pure JVM expressions (zip_with/aggregate fold) so the SQL oracle is
@@ -944,6 +963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_recall": q_dedup_embedding_recall,
         "similarity_cosine_topk": q_similarity_cosine_topk,
@@ -962,6 +982,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _NORM = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+
+
+_MINHASH_PAIRS_SQL = f"""
+            WITH docs AS (
+              SELECT doc_id, str_split({_NORM}, ' ') AS words FROM documents
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
+              FROM docs, UNNEST(range(1, len(words) - 1)) AS t(i)
+              WHERE len(words) >= 3
+            ),
+            hh AS (
+              SELECT doc_id, shingle,
+                     ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h1,
+                     ('0x' || substr(md5(shingle || '#'), 1, 15))::BIGINT % 1000000007 AS h2
+              FROM sh
+            ),
+            mins AS (
+              SELECT doc_id, i, min((h1 + i * h2) % 2305843009213693951) AS m
+              FROM hh CROSS JOIN (SELECT unnest(range(64)) AS i) ii
+              GROUP BY doc_id, i
+            ),
+            bandkeys AS (
+              SELECT doc_id, i // 4 AS band,
+                     string_agg(m::VARCHAR, ',' ORDER BY i) AS bk
+              FROM mins GROUP BY doc_id, i // 4
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bandkeys a JOIN bandkeys b
+                ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT c.id_a, c.id_b, count(*) AS inter
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.id_a
+              JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+              GROUP BY c.id_a, c.id_b
+            )
+            SELECT id_a, id_b,
+                   round(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.05
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1187,50 +1254,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
             FROM cand WHERE bit_count(xor(sa, sb)) <= 3
         """,
-        "dedup_minhash_lsh": f"""
-            WITH docs AS (
-              SELECT doc_id, str_split({_NORM}, ' ') AS words FROM documents
+        "dedup_minhash_lsh": _MINHASH_PAIRS_SQL,
+        "dedup_clusters": f"""
+            WITH RECURSIVE pairs AS (
+{_MINHASH_PAIRS_SQL}
             ),
-            sh AS (
-              SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
-              FROM docs, UNNEST(range(1, len(words) - 1)) AS t(i)
-              WHERE len(words) >= 3
+            edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            reach(src, dst) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
             ),
-            hh AS (
-              SELECT doc_id, shingle,
-                     ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h1,
-                     ('0x' || substr(md5(shingle || '#'), 1, 15))::BIGINT % 1000000007 AS h2
-              FROM sh
-            ),
-            mins AS (
-              SELECT doc_id, i, min((h1 + i * h2) % 2305843009213693951) AS m
-              FROM hh CROSS JOIN (SELECT unnest(range(64)) AS i) ii
-              GROUP BY doc_id, i
-            ),
-            bandkeys AS (
-              SELECT doc_id, i // 4 AS band,
-                     string_agg(m::VARCHAR, ',' ORDER BY i) AS bk
-              FROM mins GROUP BY doc_id, i // 4
-            ),
-            cand AS (
-              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-              FROM bandkeys a JOIN bandkeys b
-                ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
-            ),
-            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-            inter AS (
-              SELECT c.id_a, c.id_b, count(*) AS inter
-              FROM cand c
-              JOIN sh a ON a.doc_id = c.id_a
-              JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
-              GROUP BY c.id_a, c.id_b
-            )
-            SELECT id_a, id_b,
-                   round(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
-            FROM inter
-            JOIN sizes sa ON sa.doc_id = id_a
-            JOIN sizes sb ON sb.doc_id = id_b
-            WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.05
+            lab AS (SELECT src AS doc_id, min(dst) AS cluster_id
+                    FROM reach GROUP BY src),
+            sizes AS (SELECT cluster_id, count(*) AS cluster_size
+                      FROM lab GROUP BY cluster_id)
+            SELECT l.doc_id, l.cluster_id, s.cluster_size,
+                   l.doc_id = l.cluster_id AS is_canonical
+            FROM lab l JOIN sizes s USING (cluster_id)
         """,
         "similarity_cosine_topk": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

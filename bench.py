@@ -184,8 +184,15 @@ def run_bench(sf_dir: str, cpus: int, ingest_events: int | None = None) -> dict:
         # (untimed); parallelism = one file per task, so events_per_file
         # sizes the task count.
         from binlogsub_spark.mysql_binlog import binlog_files_to_frames
-        from binlogsub_spark.sources.generator import write_mysql_binlog_files
+        from binlogsub_spark.pipeline import override_columns_by_table
+        from binlogsub_spark.sources.generator import (
+            transcripts_table_maps,
+            write_mysql_binlog_files,
+        )
 
+        name_map: dict = {}
+        for tm_ in transcripts_table_maps().values():
+            name_map.setdefault((tm_.db, tm_.table), []).append(tm_.columns)
         fdir = os.path.join(tmp, "binlogfiles")
         file_events = max(ingest_events // 10, 50_000)
         write_mysql_binlog_files(
@@ -201,7 +208,11 @@ def run_bench(sf_dir: str, cpus: int, ingest_events: int | None = None) -> dict:
             t0 = time.time()
             fframes = binlog_files_to_frames(spark, fdir)
             freg = extract_table_maps(fframes, checksum=True)
-            n_file_rows = decode_mysql_events(fframes, freg, checksum=True).count()
+            n_file_rows = decode_mysql_events(
+                fframes, freg,
+                column_overrides=override_columns_by_table(freg, name_map),
+                checksum=True,
+            ).count()
             dt = time.time() - t0
             file_sec = dt if file_sec is None else min(file_sec, dt)
         timings["cdc_mysql_file_ingest"] = round(file_sec, 3)
@@ -224,9 +235,15 @@ def run_bench(sf_dir: str, cpus: int, ingest_events: int | None = None) -> dict:
     ]
     qs = entry.queries()
     for name in suite:
-        t0 = time.time()
-        n = qs[name](spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(2):  # best-of-2: first call pays plan compile +
+            # python-worker warmup; the steady-state number is the one
+            # that extrapolates (host-noise protocol, BENCH/BASELINE.md)
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     spark.stop()
     total = round(sum(timings.values()), 3)

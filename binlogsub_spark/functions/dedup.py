@@ -404,3 +404,73 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ------------------------------------------------------------- clustering
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs -> per-document
+    cluster assignment: cluster_id = min document id reachable through the
+    duplicate graph, plus cluster_size and is_canonical (the keeper).
+
+    This is the stage that turns PAIR detectors (minhash/simhash/embedding)
+    into an actionable dedup: "keep one document per duplicate CLUSTER",
+    which pairwise output alone cannot express (a~b, b~c must collapse to
+    ONE keeper even when a~c was never emitted).
+
+    Scale design: iterative min-label propagation — per round one
+    equi-join (edges x labels) + one min-aggregate, converging in
+    O(component diameter) rounds (duplicate clusters are shallow: near-dup
+    graphs are dense cliques, diameter 2-3). Each round is
+    localCheckpoint(eager)-materialized to keep the plan/lineage flat
+    (iterative DataFrame plans otherwise grow exponentially). No driver
+    loops over rows; the driver only runs the convergence counter."""
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = df.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.id == nbr.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return (
+        labels.join(sizes, "label")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("label").alias("cluster_id"),
+            "cluster_size",
+            (F.col("id") == F.col("label")).alias("is_canonical"),
+        )
+    )

@@ -53,3 +53,37 @@ def test_salted_equals_unsalted(spark):
     a = sorted(map(tuple, lww_reduce(df, salt=1).collect()))
     b = sorted(map(tuple, lww_reduce(df, salt=8).collect()))
     assert a == b
+
+
+def test_dedup_clusters_transitive(spark):
+    """a~b and b~c must land in ONE cluster (transitive closure) even
+    though the pair a~c was never emitted; singletons stay canonical."""
+    from binlogsub_spark.functions.dedup import dedup_clusters
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id LONG")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a LONG, id_b LONG"
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["is_canonical"])
+        for r in dedup_clusters(docs, pairs).collect()
+    }
+    assert got == {
+        1: (1, 3, True), 2: (1, 3, False), 3: (1, 3, False),
+        4: (4, 1, True), 5: (5, 2, True), 6: (5, 2, False), 7: (7, 1, True),
+    }
+
+
+def test_dedup_clusters_long_chain_converges(spark):
+    """A 20-hop chain (worst-case diameter) converges to one cluster —
+    the iteration count is bounded by component diameter, not size."""
+    from binlogsub_spark.functions.dedup import dedup_clusters
+
+    n = 21
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id LONG")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a LONG, id_b LONG"
+    )
+    rows = dedup_clusters(docs, pairs).collect()
+    assert {r["cluster_id"] for r in rows} == {0}
+    assert all(r["cluster_size"] == n for r in rows)
