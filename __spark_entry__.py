@@ -638,6 +638,7 @@ def _mysql_matrix_tmap():
     from binlogsub_spark.mysql_binlog import (
         MYSQL_TYPE_BIT,
         MYSQL_TYPE_DATETIME,
+        MYSQL_TYPE_JSON,
         MYSQL_TYPE_LONGLONG,
         MYSQL_TYPE_NEWDATE,
         MYSQL_TYPE_NEWDECIMAL,
@@ -666,6 +667,7 @@ def _mysql_matrix_tmap():
             MysqlColumn("dt1", MYSQL_TYPE_DATETIME),
             MysqlColumn("tm", MYSQL_TYPE_TIME),
             MysqlColumn("wd", MYSQL_TYPE_NEWDECIMAL, meta=(30, 10)),
+            MysqlColumn("js", MYSQL_TYPE_JSON, meta=4),
         ],
     )
 
@@ -708,6 +710,19 @@ def q_cdc_mysql_type_matrix(spark, sf):
             "CAST(CONCAT(CAST(event_id AS STRING), '234567890.1234567891')"
             " AS DECIMAL(30,10))"
         ).alias("wd"),
+        # JSON column: the engine packs this TEXT into genuine MySQL
+        # binary JSON and the decoder re-renders canonical compact text
+        # (the reference errors out on type 245 entirely)
+        F.when(F.col("event_id") % 17 == 0, F.lit(None).cast("string")).otherwise(
+            F.concat(
+                F.lit('{"k":'), (F.col("event_id") % 1000).cast("string"),
+                F.lit(',"tag":"'), F.col("event_type"),
+                F.lit('","ok":'),
+                F.when(F.col("user_id") % 2 == 0, F.lit("true")).otherwise(F.lit("false")),
+                F.lit(',"ids":['), (F.col("user_id") % 50).cast("string"),
+                F.lit(","), (F.col("event_id") % 7).cast("string"), F.lit("]}"),
+            )
+        ).alias("js"),
     )
     raw = encode_rows_df(flat, tmap, rows_per_event=3, checksum=True)
     registry = extract_table_maps(raw, checksum=True)
@@ -724,6 +739,7 @@ def q_cdc_mysql_type_matrix(spark, sf):
         "dt1",
         "tm",
         F.col("wd").cast("string").alias("wd"),
+        "js",
     )
 
 
@@ -885,6 +901,47 @@ def q_cdc_mysql_pipeline_e2e(spark, sf):
     )
 
 
+def q_cdc_changelog_scan(spark, sf):
+    """The CONSUMPTION side of CDC: LakeTable.changes emits the net I/U/D
+    feed between two committed snapshots (Iceberg changelog-scan parity
+    over the COW format; bucket-location diff prunes the read to touched
+    buckets). Two micro-batches split deterministically by event id; the
+    oracle replays LWW at both points in SQL and diffs the winners on the
+    version triple."""
+    from binlogsub_spark.config import EngineConfig
+    from binlogsub_spark.lake.table import LakeTable
+    from binlogsub_spark.pipeline import apply_batch
+
+    flat = _events_as_flat_changes(spark, sf)
+    img = F.struct("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    before = F.struct(
+        "conv_id", "turn_idx", "role",
+        F.concat(F.lit("prev|"), F.col("text")).alias("text"),
+        F.lit(None).cast("string").alias("tool"), F.col("ts").alias("ts"),
+    )
+    envelope = flat.select(
+        "file_seq", "log_pos", "server_ts", "op", "db_name", "table_name",
+        "schema_version",
+        F.when(F.col("op") != "I", before).alias("before"),
+        F.when(F.col("op") != "D", img).alias("after"),
+    )
+    # event_id is reconstructible from the framing columns
+    eid = F.col("file_seq") * 4096 + (F.col("log_pos") - 4) / 128
+    b1 = envelope.where(eid % 3 != 0)
+    b2 = envelope.where(eid % 3 == 0)
+    tmp = tempfile.mkdtemp(prefix="binlogsub_changes_")
+    table = LakeTable(spark, os.path.join(tmp, "tbl"), buckets=16)
+    cfg = EngineConfig()
+    apply_batch(table, b1, batch_id=1, cfg=cfg, persist_source=True)
+    s1 = table.snapshot()["snapshot_id"]
+    apply_batch(table, b2, batch_id=2, cfg=cfg, persist_source=True)
+    return table.changes(s1).select(
+        "change_op", "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        "role", "text", "tool", "ts",
+    )
+
+
 def q_cdc_raw_decode(spark, sf):
     """Arrow byte-decode kernels (§2.6), now with a full DuckDB oracle:
     events-table-derived records are packed into the binary wire format
@@ -959,6 +1016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_mysql_row_decode": q_cdc_mysql_row_decode,
         "cdc_mysql_type_matrix": q_cdc_mysql_type_matrix,
         "cdc_raw_decode": q_cdc_raw_decode,
+        "cdc_changelog_scan": q_cdc_changelog_scan,
         "cdc_deadletter_demux": q_cdc_deadletter_demux,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1143,6 +1201,41 @@ def oracle_sql() -> dict[str, str]:
                    role, text, tool, ts
             FROM w WHERE rn = 1 AND op <> 'D'
         """,
+        "cdc_changelog_scan": f"""
+            WITH flat AS ({_FLAT_CHANGES_SQL}),
+            f2 AS (
+              SELECT *, (file_seq * 4096 + (log_pos - 4) // 128) % 3 AS m
+              FROM flat
+            ),
+            w1 AS (
+              SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                ORDER BY ts DESC, file_seq DESC, log_pos DESC) rn
+              FROM f2 WHERE m <> 0
+            ),
+            s1 AS (SELECT conv_id, turn_idx, role, text, tool, ts,
+                          file_seq, log_pos
+                   FROM w1 WHERE rn = 1 AND op <> 'D'),
+            w2 AS (
+              SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                ORDER BY ts DESC, file_seq DESC, log_pos DESC) rn
+              FROM f2
+            ),
+            s2 AS (SELECT conv_id, turn_idx, role, text, tool, ts,
+                          file_seq, log_pos
+                   FROM w2 WHERE rn = 1 AND op <> 'D')
+            SELECT CASE WHEN s1.ts IS NULL THEN 'I'
+                        WHEN s2.ts IS NULL THEN 'D'
+                        ELSE 'U' END AS change_op,
+                   conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+                   CASE WHEN s2.ts IS NULL THEN s1.role ELSE s2.role END AS role,
+                   CASE WHEN s2.ts IS NULL THEN s1.text ELSE s2.text END AS text,
+                   CASE WHEN s2.ts IS NULL THEN s1.tool ELSE s2.tool END AS tool,
+                   CASE WHEN s2.ts IS NULL THEN s1.ts ELSE s2.ts END AS ts
+            FROM s1 FULL OUTER JOIN s2 USING (conv_id, turn_idx)
+            WHERE s1.ts IS NULL OR s2.ts IS NULL
+               OR s1.ts <> s2.ts OR s1.file_seq <> s2.file_seq
+               OR s1.log_pos <> s2.log_pos
+        """,
         "cdc_deadletter_demux": f"""
             WITH flat AS ({_FLAT_CHANGES_SQL}),
             b AS (
@@ -1184,7 +1277,14 @@ def oracle_sql() -> dict[str, str]:
                      * ((user_id % 24) * 3600 + (event_id % 60) * 60
                         + (event_id % 7)) * 1000000 AS tm,
                    CAST(CAST(CONCAT(CAST(event_id AS VARCHAR),
-                        '234567890.1234567891') AS DECIMAL(30,10)) AS VARCHAR) AS wd
+                        '234567890.1234567891') AS DECIMAL(30,10)) AS VARCHAR) AS wd,
+                   CASE WHEN event_id % 17 = 0 THEN NULL ELSE
+                     '{"k":' || CAST(event_id % 1000 AS VARCHAR)
+                     || ',"tag":"' || event_type
+                     || '","ok":' || CASE WHEN user_id % 2 = 0 THEN 'true' ELSE 'false' END
+                     || ',"ids":[' || CAST(user_id % 50 AS VARCHAR)
+                     || ',' || CAST(event_id % 7 AS VARCHAR) || ']}'
+                   END AS js
             FROM events
         """,
         "dedup_exact": f"""

@@ -217,6 +217,107 @@ class LakeTable:
             .select(*user_cols)
         )
 
+    def changes(
+        self, from_snapshot_id: int | None, to_snapshot_id: int | None = None
+    ) -> DataFrame:
+        """Net change feed between two committed snapshots — the
+        CONSUMPTION side of CDC (Iceberg's changelog scan re-realized over
+        the COW format): one row per merge key whose live state differs,
+        with ``change_op`` I (appeared), U (version advanced), D
+        (disappeared/tombstoned); I/U carry the to-state's columns, D the
+        from-state's.
+
+        Scale: copy-on-write relocates ONLY touched buckets, so the
+        bucket-location diff between the two manifests prunes the scan to
+        changed buckets before reading a byte — a 1-conversation commit on
+        a 100 TB table diffs 1/buckets of it. ``from_snapshot_id=None``
+        means "from the empty table" (everything live is an I)."""
+        to_snap = self.snapshot(to_snapshot_id)
+        if to_snap is None:
+            raise ValueError(f"table {self.path} has no committed snapshot")
+        to_id = to_snap["snapshot_id"]
+        from_snap = (
+            self.snapshot(from_snapshot_id) if from_snapshot_id is not None else None
+        )
+        if from_snapshot_id is not None and from_snap is None:
+            raise ValueError(
+                f"snapshot {from_snapshot_id} does not exist (never committed, "
+                f"or expired by vacuum()) for table {self.path}"
+            )
+        locs_to: dict = to_snap["bucket_locations"]
+        locs_from: dict = from_snap["bucket_locations"] if from_snap else {}
+        changed = sorted(
+            int(b)
+            for b in set(locs_to) | set(locs_from)
+            if locs_to.get(b) != locs_from.get(b)
+        )
+        schema = self._schema(to_snap)
+        user_cols = [f.name for f in schema.fields if f.name not in VERSION_COLUMNS]
+        payload = [c for c in user_cols if c not in MERGE_KEY]
+        out_fields = (
+            [T.StructField("change_op", T.StringType())]
+            + [schema[c] for c in user_cols]
+            + [schema[c] for c in VERSION_COLUMNS if c != "_op"]
+        )
+        if not changed:
+            return self.spark.createDataFrame([], T.StructType(out_fields))
+
+        def _live(df: DataFrame, tag: str) -> DataFrame:
+            keep = (
+                MERGE_KEY
+                + payload
+                + [c for c in VERSION_COLUMNS if c != "_op"]
+                + ["_op"]
+            )
+            renamed = df.select(
+                *MERGE_KEY,
+                *[F.col(c).alias(f"{tag}_{c}") for c in keep if c not in MERGE_KEY],
+                F.lit(True).alias(f"{tag}_present"),
+            )
+            return renamed.where(F.col(f"{tag}__op") != "D").drop(f"{tag}__op")
+
+        new = _live(self.read_internal(buckets=changed, snapshot_id=to_id), "n")
+        if from_snap is None:
+            return new.select(
+                F.lit("I").alias("change_op"),
+                *MERGE_KEY,
+                *[F.col(f"n_{c}").alias(c) for c in payload],
+                *[
+                    F.col(f"n_{c}").alias(c)
+                    for c in ("_ts", "_file_seq", "_log_pos")
+                ],
+            )
+        old = _live(
+            self.read_internal(buckets=changed, snapshot_id=from_snap["snapshot_id"]),
+            "o",
+        )
+        j = old.join(new, MERGE_KEY, "full_outer")
+        has_new = F.col("n_present").isNotNull()
+        has_old = F.col("o_present").isNotNull()
+        same_version = (
+            (F.col("o__ts") == F.col("n__ts"))
+            & (F.col("o__file_seq") == F.col("n__file_seq"))
+            & (F.col("o__log_pos") == F.col("n__log_pos"))
+        )
+        op = (
+            F.when(has_new & ~has_old, "I")
+            .when(~has_new & has_old, "D")
+            .otherwise(F.when(same_version, F.lit(None)).otherwise(F.lit("U")))
+        )
+        side = lambda c: F.when(F.col("change_op") == "D", F.col(f"o_{c}")).otherwise(
+            F.col(f"n_{c}")
+        )
+        return (
+            j.withColumn("change_op", op)
+            .where(F.col("change_op").isNotNull())
+            .select(
+                "change_op",
+                *MERGE_KEY,
+                *[side(c).alias(c) for c in payload],
+                *[side(c).alias(c) for c in ("_ts", "_file_seq", "_log_pos")],
+            )
+        )
+
     def read_for_keys(
         self, keys: list[str], snapshot_id: int | None = None
     ) -> DataFrame:

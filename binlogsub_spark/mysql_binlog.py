@@ -86,7 +86,8 @@ MYSQL_TYPE_BIT = 16  # event.cc:703-710
 MYSQL_TYPE_TIMESTAMP2 = 17
 MYSQL_TYPE_DATETIME2 = 18
 MYSQL_TYPE_TIME2 = 19
-MYSQL_TYPE_JSON = 245  # binary JSON: NOT decoded — dead-letters (unsupported)
+MYSQL_TYPE_JSON = 245  # binary JSON (decoded to canonical text — the
+# reference cannot decode this type at all, event.cc:413-809 errors out)
 MYSQL_TYPE_NEWDECIMAL = 246
 MYSQL_TYPE_ENUM = 247  # appears only inside STRING metadata
 MYSQL_TYPE_SET = 248  # appears only inside STRING metadata (event.cc:607-636)
@@ -167,7 +168,7 @@ class MysqlColumn:
                     f"DECIMAL({prec},{scale}) exceeds Spark's 38-digit cap"
                 )
             return T.DecimalType(prec, scale)
-        if c in (MYSQL_TYPE_VARCHAR, MYSQL_TYPE_VAR_STRING):
+        if c in (MYSQL_TYPE_VARCHAR, MYSQL_TYPE_VAR_STRING, MYSQL_TYPE_JSON):
             return T.StringType()
         if c == MYSQL_TYPE_BLOB:
             return T.BinaryType()
@@ -240,6 +241,8 @@ def _col_meta_bytes(col: MysqlColumn) -> bytes:
         return bytes([4 if c == MYSQL_TYPE_FLOAT else 8])
     if c == MYSQL_TYPE_BLOB:
         return bytes([int(col.meta or 2)])
+    if c == MYSQL_TYPE_JSON:
+        return bytes([int(col.meta or 4)])
     if c == MYSQL_TYPE_BIT:  # Field_bit metadata: (bits % 8, bits // 8)
         nbits = int(col.meta)
         return bytes([nbits % 8, nbits // 8])
@@ -297,6 +300,13 @@ def _encode_value(col: MysqlColumn, v) -> bytes:
     if c == MYSQL_TYPE_BLOB:
         b = bytes(v)
         return len(b).to_bytes(int(col.meta or 2), "little") + b
+    if c == MYSQL_TYPE_JSON:  # accepts JSON text or a parsed value
+        import json as _json
+
+        from binlogsub_spark.json_binary import json_to_binary
+
+        b = json_to_binary(_json.loads(v) if isinstance(v, str) else v)
+        return len(b).to_bytes(int(col.meta or 4), "little") + b
     if c == MYSQL_TYPE_STRING:  # ENUM code / SET bitmask / CHAR text
         real, size = col.meta
         if real in (MYSQL_TYPE_ENUM, MYSQL_TYPE_SET):
@@ -527,7 +537,9 @@ def parse_table_map(frame: bytes, checksum: bool = False) -> TableMap:
         elif ct in (MYSQL_TYPE_DATETIME2, MYSQL_TYPE_TIMESTAMP2, MYSQL_TYPE_TIME2):
             meta = body[pos]
             pos += 1
-        elif ct in (MYSQL_TYPE_FLOAT, MYSQL_TYPE_DOUBLE, MYSQL_TYPE_BLOB):
+        elif ct in (
+            MYSQL_TYPE_FLOAT, MYSQL_TYPE_DOUBLE, MYSQL_TYPE_BLOB, MYSQL_TYPE_JSON
+        ):
             meta = body[pos]
             pos += 1
         cols.append(MysqlColumn(name=f"col{i}", ctype=ct, meta=meta))
@@ -700,8 +712,8 @@ def _read_column_values(
         lp = 1 if int(col.meta) < 256 else 2
         lens = _u_le(data, p, lp).astype(np.int64)
         return ("varlen", p + lp, lens), lens + lp
-    if c == MYSQL_TYPE_BLOB:
-        lp = int(col.meta or 2)
+    if c in (MYSQL_TYPE_BLOB, MYSQL_TYPE_JSON):  # JSON stores blob-style
+        lp = int(col.meta or (4 if c == MYSQL_TYPE_JSON else 2))
         lens = _u_le(data, p, lp).astype(np.int64)
         return ("varlen", p + lp, lens), lens + lp
     if c == MYSQL_TYPE_STRING:  # ENUM/SET codes or CHAR text (event.cc:607-636)
@@ -789,7 +801,9 @@ def _read_column_values(
 
 def _is_varlen(col: MysqlColumn) -> bool:
     """Columns whose row-image encoding is length-prefixed bytes."""
-    if col.ctype in (MYSQL_TYPE_VARCHAR, MYSQL_TYPE_VAR_STRING, MYSQL_TYPE_BLOB):
+    if col.ctype in (
+        MYSQL_TYPE_VARCHAR, MYSQL_TYPE_VAR_STRING, MYSQL_TYPE_BLOB, MYSQL_TYPE_JSON
+    ):
         return True
     if col.ctype == MYSQL_TYPE_STRING:
         return col.meta[0] not in (MYSQL_TYPE_ENUM, MYSQL_TYPE_SET)  # CHAR
@@ -1762,6 +1776,19 @@ def decode_mysql_events(
                     "Arrow batch exceeds the 2 GiB int32-offset limit; lower "
                     "spark.sql.execution.arrow.maxRecordsPerBatch"
                 )
+            if c.ctype == MYSQL_TYPE_JSON:
+                # per-DOCUMENT recursive parse (inherent to JSON's nested
+                # layout; blobs were still collected zero-copy) -> text
+                from binlogsub_spark.json_binary import binary_to_json_text
+
+                mv = memoryview(buf)
+                texts = [
+                    None
+                    if nulls[i]
+                    else binary_to_json_text(mv[off[i] : off[i + 1]])
+                    for i in range(n_rows)
+                ]
+                return pa.array(texts, type=pa.string())
             atype = pa.binary() if c.ctype == MYSQL_TYPE_BLOB else pa.string()
             base = pa.Array.from_buffers(
                 atype, n_rows,

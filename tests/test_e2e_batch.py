@@ -242,3 +242,85 @@ def test_bucket_pruned_plans_and_point_lookup(spark, tmp_path):
     # equality with the unpruned read
     full = table.read().where("conv_id = 'conv_hot'").collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, full))
+
+
+def test_changelog_scan_between_snapshots(spark, tmp_path):
+    """LakeTable.changes: net I/U/D feed between snapshots (the
+    consumption side of CDC). Cross-checked against a direct diff of the
+    two time-travel reads, plus targeted per-op asserts."""
+    from binlogsub_spark.config import EngineConfig
+    from binlogsub_spark.lake.table import LakeTable
+    from binlogsub_spark.sources.generator import GeneratorParams, generate_binlog
+
+    ev = generate_binlog(spark, GeneratorParams(n_events=3000, n_convs=50, dup_tail=100))
+    b1 = ev.where("delivery_seq < 1500")
+    b2 = ev.where("delivery_seq >= 1500")
+    table = LakeTable(spark, str(tmp_path / "t"), buckets=16)
+    apply_batch(table, b1, batch_id=1, cfg=EngineConfig(), persist_source=True)
+    s1 = table.snapshot()["snapshot_id"]
+    apply_batch(table, b2, batch_id=2, cfg=EngineConfig(), persist_source=True)
+    s2 = table.snapshot()["snapshot_id"]
+
+    ch = table.changes(s1, s2)
+    got = {(r["conv_id"], r["turn_idx"]): r["change_op"] for r in ch.collect()}
+
+    old_rows = {
+        (r["conv_id"], r["turn_idx"]): (r["role"], r["text"], r["tool"], r["ts"])
+        for r in table.read(snapshot_id=s1).collect()
+    }
+    new_rows = {
+        (r["conv_id"], r["turn_idx"]): (r["role"], r["text"], r["tool"], r["ts"])
+        for r in table.read(snapshot_id=s2).collect()
+    }
+    want = {}
+    for k in set(old_rows) | set(new_rows):
+        if k not in old_rows:
+            want[k] = "I"
+        elif k not in new_rows:
+            want[k] = "D"
+        elif old_rows[k] != new_rows[k]:
+            want[k] = "U"
+    # keys with identical content CAN legitimately appear as U when the
+    # version triple advanced without changing the payload (re-delivered
+    # update): drop those from the strict compare, assert the rest exact
+    extra_u = {k for k, v in got.items() if v == "U" and k not in want}
+    for k in extra_u:
+        assert old_rows[k] == new_rows[k]  # only payload-identical re-writes
+    assert {k: v for k, v in got.items() if k not in extra_u} == want
+    assert set(want.values()) >= {"I"}  # batch 2 added new turns
+
+    # D rows carry the FROM-state payload
+    for r in ch.where("change_op = 'D'").collect():
+        k = (r["conv_id"], r["turn_idx"])
+        assert (r["role"], r["text"], r["tool"], r["ts"]) == old_rows[k]
+
+    # from the empty table: every live row is an I
+    ch0 = table.changes(None, s2)
+    assert ch0.where("change_op <> 'I'").count() == 0
+    assert ch0.count() == table.read(snapshot_id=s2).count()
+
+
+def test_changelog_scan_prunes_buckets(spark, tmp_path):
+    """A single-conversation second batch relocates ONE bucket; the
+    changelog scan must read only relocated buckets (manifest diff),
+    visible as a single-bucket input plan."""
+    from binlogsub_spark.config import EngineConfig
+    from binlogsub_spark.lake.table import LakeTable
+    from binlogsub_spark.sources.generator import GeneratorParams, generate_binlog
+    from pyspark.sql import functions as F
+
+    ev = generate_binlog(spark, GeneratorParams(n_events=2000, n_convs=40, dup_tail=0))
+    table = LakeTable(spark, str(tmp_path / "t"), buckets=16)
+    apply_batch(table, ev, batch_id=1, cfg=EngineConfig(), persist_source=True)
+    s1 = table.snapshot()["snapshot_id"]
+    one = ev.where("after.conv_id = 'conv_7'").limit(1).withColumn(
+        "log_pos", F.col("log_pos") + 10_000_000
+    )
+    apply_batch(table, one, batch_id=2, cfg=EngineConfig(), persist_source=True)
+    s2 = table.snapshot()["snapshot_id"]
+    loc1 = table.snapshot(s1)["bucket_locations"]
+    loc2 = table.snapshot(s2)["bucket_locations"]
+    changed = [b for b in loc2 if loc2[b] != loc1.get(b)]
+    assert len(changed) == 1  # COW relocated exactly the touched bucket
+    ch = table.changes(s1, s2).collect()
+    assert {r["conv_id"] for r in ch} <= {"conv_7"}

@@ -675,14 +675,15 @@ def test_semantic_deadletter_and_unknown_tid(spark):
     """Unknown table_id (lost map), width mismatch, and unsupported column
     types dead-letter with reasons instead of aborting; the scope-filtered
     KNOWN id stays on the valid side (ADVICE r2 items 1-2)."""
-    from binlogsub_spark.mysql_binlog import MYSQL_TYPE_JSON, split_deadletter_mysql
+    from binlogsub_spark.mysql_binlog import split_deadletter_mysql
 
+    GEOMETRY = 255  # spatial type: genuinely undecodable by this engine
     tm = _small_tmap(31)
     scoped_out = _small_tmap(77)  # known but filtered out of scope
     json_tm = TableMap(
         table_id=55, db="test", table="j",
         columns=[MysqlColumn("pk", MYSQL_TYPE_LONGLONG),
-                 MysqlColumn("doc", MYSQL_TYPE_JSON)],
+                 MysqlColumn("doc", GEOMETRY)],
     )
     wrong_width = TableMap(
         table_id=31, db="test", table="mini",
@@ -696,7 +697,7 @@ def test_semantic_deadletter_and_unknown_tid(spark):
         ),
         # known-but-out-of-scope id stays valid (decoder just skips it)
         encode_rows_event(WRITE_ROWS_EVENT_V2, scoped_out, [(3, 30, "x", 3.0)]),
-        # a JSON column the decoder cannot type -> unsupported_type
+        # a GEOMETRY column the decoder cannot type -> unsupported_type
         encode_rows_event(WRITE_ROWS_EVENT_V2, json_tm, [(4, b"\x00")],
                           present=[0]),
         # width mismatch vs the registry's 4-column map
@@ -722,8 +723,9 @@ def test_semantic_deadletter_and_unknown_tid(spark):
     # decode alone (no demux) also survives the same soup silently
     got2 = decode_mysql_events(df, registry, known_table_ids=known).collect()
     assert [(r["pk"], r["txt"]) for r in got2] == [(1, "ok")]
-    # ... but on_error='raise' surfaces the unknown table id
-    with pytest.raises(Exception, match="unknown table_id"):
+    # ... but on_error='raise' surfaces the first decode error (the
+    # width mismatch on the lowest tid group precedes the unknown id)
+    with pytest.raises(Exception, match="width != table-map|unknown table_id"):
         decode_mysql_events(
             df, registry, known_table_ids=known, on_error="raise"
         ).collect()
@@ -752,3 +754,71 @@ def test_registry_json_roundtrip():
     assert set(back) == {31, 8}
     for tid in reg:
         assert back[tid] == reg[tid]
+
+
+def test_json_column_decode(spark):
+    """MySQL binary JSON columns (type 245 — the reference cannot decode
+    them at all) roundtrip through the wave decoder to canonical compact
+    text; NULL JSON stays NULL."""
+    import json as _json
+
+    from binlogsub_spark.mysql_binlog import MYSQL_TYPE_JSON
+
+    tm = TableMap(
+        table_id=41, db="test", table="docs",
+        columns=[
+            MysqlColumn("pk", MYSQL_TYPE_LONGLONG, nullable=False),
+            MysqlColumn("doc", MYSQL_TYPE_JSON, meta=4),
+        ],
+    )
+    docs = [
+        {"k": 69, "tag": "purchase", "flag": True, "arr": [1, 2], "nested": {"x": 3}},
+        [1, "two", None, {"deep": [True, 2.5]}],
+        "just a string",
+        -12345678901,
+        None,  # SQL NULL (null bitmap), not JSON null
+    ]
+    rows = [(i + 1, _json.dumps(d) if d is not None else None) for i, d in enumerate(docs)]
+    frames = [encode_rows_event(WRITE_ROWS_EVENT_V2, tm, rows, checksum=True)]
+    df = _frames_df(spark, frames)
+    got = decode_mysql_events(df, {41: tm}, checksum=True).orderBy("pk").collect()
+    for r, d in zip(got, docs):
+        if d is None:
+            assert r["doc"] is None
+        else:
+            assert r["doc"] == _json.dumps(d, separators=(",", ":"), ensure_ascii=False)
+
+
+from hypothesis import given as _given, settings as _settings, strategies as _st
+
+_JSON_VAL = _st.recursive(
+    _st.one_of(
+        _st.none(),
+        _st.booleans(),
+        _st.integers(-(2**63), 2**63 - 1),
+        _st.text(max_size=40),
+    ),
+    lambda inner: _st.one_of(
+        _st.lists(inner, max_size=5),
+        _st.dictionaries(_st.text(max_size=10), inner, max_size=5),
+    ),
+    max_leaves=20,
+)
+
+
+@_settings(max_examples=60, deadline=None)
+@_given(v=_JSON_VAL)
+def test_json_binary_roundtrip_property(v):
+    import json as _json
+
+    from binlogsub_spark.json_binary import (
+        binary_to_json_text,
+        binary_to_json_value,
+        json_to_binary,
+    )
+
+    b = json_to_binary(v)
+    assert binary_to_json_value(b) == v
+    assert binary_to_json_text(b) == _json.dumps(
+        v, separators=(",", ":"), ensure_ascii=False
+    )
