@@ -546,6 +546,46 @@ def q_multimodal_decode_features(spark, sf):
     )
 
 
+def q_multimodal_resize(spark, sf):
+    """Resize planning over the stub codec space (dimensions derive from
+    the content digest, so the whole decode -> aspect-preserving integer
+    dimension math -> envelope rewrite is DuckDB-oracled; only the pixel
+    re-encode itself is the stub boundary)."""
+    from binlogsub_spark.functions.multimodal import attach_media, resize_media
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    out = resize_media(attach_media(d, "doc_id", "payload"), max_side=128)
+    return out.select(
+        "media_id", "kind",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("new_width").cast("long").alias("new_width"),
+        F.col("new_height").cast("long").alias("new_height"),
+        "resized",
+    )
+
+
+def q_multimodal_frame_sample(spark, sf):
+    """Video frame-sampling fan-out (one row per stride-sampled frame
+    index with a per-frame feature) — the mapInPandas explode shape of a
+    real ffmpeg frame extractor, deterministic via the stub codec and
+    fully oracled."""
+    from binlogsub_spark.functions.multimodal import attach_media, frame_sample
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    out = frame_sample(attach_media(d, "doc_id", "payload", kind="video"), every_n=8)
+    return out.select(
+        "media_id",
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.round(F.col("f0").cast("double"), 4).alias("f0"),
+    )
+
+
 _ETYPE_ENUM = ("click", "error", "purchase", "signup", "view")
 
 
@@ -1035,6 +1075,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "corpus_clean": q_corpus_clean,
         "multimodal_metadata": q_multimodal_metadata,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
         "multimodal_decode_features": q_multimodal_decode_features,
     }
 
@@ -1557,6 +1599,41 @@ def oracle_sql() -> dict[str, str]:
                        + ('0x' || substr(sha, 49, 2))::BIGINT) / 4.0) / 255.0
                      AS FLOAT)::DOUBLE, 4) AS f0
             FROM d
+        """,
+        "multimodal_resize": """
+            WITH d AS (
+              SELECT doc_id AS media_id, sha256(text) AS sha FROM documents
+            ),
+            dims AS (
+              SELECT media_id,
+                     64 + ('0x' || substr(sha, 1, 2))::BIGINT % 192 AS width,
+                     64 + ('0x' || substr(sha, 3, 2))::BIGINT % 192 AS height
+              FROM d
+            )
+            SELECT media_id, 'image' AS kind, width, height,
+                   CASE WHEN greatest(width, height) > 128
+                        THEN (width * 128) // greatest(width, height)
+                        ELSE width END AS new_width,
+                   CASE WHEN greatest(width, height) > 128
+                        THEN (height * 128) // greatest(width, height)
+                        ELSE height END AS new_height,
+                   greatest(width, height) > 128 AS resized
+            FROM dims
+        """,
+        "multimodal_frame_sample": """
+            WITH d AS (
+              SELECT doc_id AS media_id, sha256(text) AS sha FROM documents
+            ),
+            nf AS (
+              SELECT media_id, sha,
+                     8 + ('0x' || substr(sha, 5, 2))::BIGINT % 120 AS n_frames
+              FROM d
+            )
+            SELECT media_id, n_frames, i AS frame_idx,
+                   round(CAST(
+                     (('0x' || substr(sha, 2 * ((3 + i) % 32) + 1, 2))::BIGINT
+                      / 255.0) AS FLOAT)::DOUBLE, 4) AS f0
+            FROM nf, UNNEST(generate_series(0, n_frames - 1, 8)) AS t(i)
         """,
         "multimodal_metadata": """
             SELECT doc_id AS media_id, 'image' AS kind, 'image/stub' AS mime,

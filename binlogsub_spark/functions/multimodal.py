@@ -98,11 +98,100 @@ def decode_media(media_df: DataFrame) -> DataFrame:
     return media_df.mapInPandas(_extract, schema=FEATURES_SCHEMA)
 
 
-def resize_stub(media_df: DataFrame, max_side: int = 256) -> DataFrame:
-    """STUB resize: a real pipeline re-encodes pixels; here the plumbing
-    (projection + metadata rewrite) is exercised end-to-end."""
-    raise NotImplementedError(
-        "image resize requires a codec library not present in this "
-        "environment; the decode/feature path (decode_media) demonstrates "
-        "the identical mapInPandas plumbing"
+def resize_media(media_df: DataFrame, max_side: int = 256) -> DataFrame:
+    """Resize planning + metadata rewrite over the (stub) codec space: the
+    decode gives each image its dimensions; images whose longest side
+    exceeds ``max_side`` get integer-exact scaled target dimensions
+    (floor((dim * max_side) / longest)) and a resized flag. The pixel
+    re-encode itself is the stub boundary (no codec libs in this
+    container — content passes through opaque); every OTHER stage of a
+    real resize pipeline — decode, dimension math, envelope rewrite,
+    Arrow batch shape — runs for real and is value-checked by the DuckDB
+    oracle (the dimensions derive deterministically from the content
+    digest)."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, content in zip(
+                pdf["media_id"], pdf["kind"], pdf["content"]
+            ):
+                w, h, _ = _decode_image_stub(bytes(content))
+                longest = max(w, h)
+                if longest > max_side:
+                    nw = (w * max_side) // longest
+                    nh = (h * max_side) // longest
+                    resized = True
+                else:
+                    nw, nh, resized = w, h, False
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "kind": kind,
+                        "width": w,
+                        "height": h,
+                        "new_width": nw,
+                        "new_height": nh,
+                        "resized": resized,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "width", "height",
+                    "new_width", "new_height", "resized",
+                ],
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("new_width", T.IntegerType()),
+            T.StructField("new_height", T.IntegerType()),
+            T.StructField("resized", T.BooleanType()),
+        ]
+    )
+    return media_df.mapInPandas(_resize, schema=schema)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("f0", T.FloatType()),
+    ]
+)
+
+
+def frame_sample(media_df: DataFrame, every_n: int = 8) -> DataFrame:
+    """Video frame sampling plumbing: each media item fans out to one row
+    per sampled frame (indices 0, every_n, 2*every_n, ... < n_frames) with
+    a per-frame feature — the mapInPandas EXPLODE shape a real
+    frame-extraction pipeline has (ffmpeg seek + decode per index). The
+    stub codec derives n_frames and the per-frame feature from the content
+    digest, so the whole fan-out is deterministic and DuckDB-oracled;
+    swapping in a real decoder changes only the two derivation lines."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "n_frames": [], "frame_idx": [], "f0": []}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                digest = hashlib.sha256(bytes(content)).digest()
+                n_frames = 8 + digest[2] % 120  # STUB: a real codec reads
+                # the container header here
+                for idx in range(0, n_frames, every_n):
+                    out["media_id"].append(mid)
+                    out["n_frames"].append(n_frames)
+                    out["frame_idx"].append(idx)
+                    out["f0"].append(
+                        np.float32(digest[(3 + idx) % 32] / 255.0)
+                    )
+            yield pd.DataFrame(out)
+
+    return media_df.select("media_id", "content").mapInPandas(
+        _sample, schema=FRAME_SCHEMA
     )

@@ -124,13 +124,43 @@ def test_multimodal_plumbing(spark):
     assert rows[1]["feature"] == rows2[1]["feature"]
 
 
-def test_resize_stub_raises(spark):
-    import pytest as _pytest
+def test_resize_and_frame_sample(spark):
+    """Resize planning preserves aspect (integer-exact) and only flags
+    images over the limit; frame sampling fans out stride-indexed rows
+    deterministically."""
+    from binlogsub_spark.functions.multimodal import (
+        attach_media,
+        frame_sample,
+        resize_media,
+    )
+    from pyspark.sql import functions as F
 
-    from binlogsub_spark.functions.multimodal import resize_stub
+    d = spark.createDataFrame(
+        [(1, bytearray(b"payload-one")), (2, bytearray(b"payload-two"))],
+        "doc_id LONG, payload BINARY",
+    )
+    m = attach_media(d, "doc_id", "payload")
+    rz = {r["media_id"]: r for r in resize_media(m, max_side=128).collect()}
+    for r in rz.values():
+        if r["resized"]:
+            longest = max(r["width"], r["height"])
+            assert longest > 128
+            assert r["new_width"] == (r["width"] * 128) // longest
+            assert r["new_height"] == (r["height"] * 128) // longest
+            assert max(r["new_width"], r["new_height"]) <= 128
+        else:
+            assert (r["new_width"], r["new_height"]) == (r["width"], r["height"])
 
-    with _pytest.raises(NotImplementedError):
-        resize_stub(None)
+    fs = frame_sample(m, every_n=8).collect()
+    by_id: dict = {}
+    for r in fs:
+        by_id.setdefault(r["media_id"], []).append(r)
+    for mid, rows in by_id.items():
+        n = rows[0]["n_frames"]
+        assert sorted(r["frame_idx"] for r in rows) == list(range(0, n, 8))
+    # deterministic across runs
+    fs2 = frame_sample(m, every_n=8).collect()
+    assert sorted(map(str, fs)) == sorted(map(str, fs2))
 
 
 def test_ivf_topk_recall(spark):

@@ -332,3 +332,37 @@ def test_gtid_lineage_end_to_end(spark, tmp_path):
     assert all(g.startswith(sid + ":") for g in gnos)
     # one transaction per change, gnos unique across applied winners
     assert len(set(gnos)) == len(gnos)
+
+
+def test_dead_letter_sink_and_metrics(spark, tmp_path):
+    """apply_mysql_batch(dead_letter_path=...) routes corrupt + unknown-
+    table frames to a reason-coded parquet sink, reports a dead_letter
+    metric, and still applies the good rows."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "m")
+    write_mysql_binlog(spark, src, GeneratorParams(n_events=1000, dup_tail=0), n_files=4)
+    raw = spark.read.parquet(src)
+    corrupted = raw.withColumn(
+        "payload",
+        F.when(F.col("log_pos") % 40 == 4, F.expr("substring(payload, 1, 10)"))
+        .otherwise(F.col("payload")),
+    )
+    dl = str(tmp_path / "dead")
+    table = LakeTable(spark, str(tmp_path / "tbl"), buckets=8)
+    m = apply_mysql_batch(
+        table, corrupted, batch_id=1, cfg=EngineConfig(), name_map=_name_map(),
+        dead_letter_path=dl,
+    )
+    n_bad = corrupted.where(F.col("log_pos") % 40 == 4).count()
+    assert m["dead_letter"] == n_bad > 0
+    assert m["applied"] > 0
+    dead = spark.read.parquet(dl)
+    assert dead.count() == n_bad
+    assert {r["_reason"] for r in dead.select("_reason").distinct().collect()} == {
+        "short_frame"
+    }
+    # dead-lettered frames stay addressable by position for replay
+    assert dead.select("file_seq", "log_pos", "payload").columns == [
+        "file_seq", "log_pos", "payload"
+    ]
