@@ -549,6 +549,7 @@ def run_stream_mysql(
     available_now: bool = True,
     checksum: bool = True,
     dead_letter_path: str | None = None,
+    gtid_lineage: bool = False,
 ):
     """Structured Streaming over a table of genuine MySQL binlog frames —
     the FULL reference-equivalent path, end to end. The table-map registry
@@ -580,6 +581,7 @@ def run_stream_mysql(
         apply_mysql_batch(
             table, batch_df, batch_id, cfg, name_map=name_map, checksum=checksum,
             registry_cache=registry_cache, dead_letter_path=dead_letter_path,
+            gtid_lineage=gtid_lineage,
         )
         os.makedirs(checkpoint_dir, exist_ok=True)
         fd, tmp = tempfile.mkstemp(dir=checkpoint_dir, suffix=".maps")

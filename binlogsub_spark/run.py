@@ -49,6 +49,15 @@ def main(argv: list[str] | None = None) -> int:
         "(19-byte header, TABLE_MAP control frames, rows events v2, CRC32)",
     )
     ap.add_argument("--merge-strategy", choices=["jvm", "arrow_local"], default="jvm")
+    ap.add_argument(
+        "--gtid", action="store_true",
+        help="mysql mode: tag applied rows with their transaction GTID "
+             "(as-of assignment from GTID_LOG_EVENT frames)",
+    )
+    ap.add_argument(
+        "--dead-letter", default=None,
+        help="mysql mode: parquet path for reason-coded undecodable frames",
+    )
     args = ap.parse_args(argv)
 
     spark = get_spark(app_name="binlogsub-ingest", master=args.master)
@@ -78,6 +87,10 @@ def main(argv: list[str] | None = None) -> int:
         for tm in transcripts_table_maps().values():
             name_map.setdefault((tm.db, tm.table), []).append(tm.columns)
         extra_kw["name_map"] = name_map
+        if args.gtid:
+            extra_kw["gtid_lineage"] = True
+        if args.dead_letter:
+            extra_kw["dead_letter_path"] = args.dead_letter
     elif args.raw:
         from binlogsub_spark.pipeline import run_stream_raw as runner
     q = runner(

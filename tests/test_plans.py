@@ -1,0 +1,102 @@
+"""Physical-plan audits: the 100 TB properties the code claims must be
+VISIBLE in the executed plan — broadcast where the build side is small,
+column-pruned scans, two-phase (partial+final) aggregation for LWW, and
+no cartesian/nested-loop blowups anywhere in the bucketed join family.
+A silent Catalyst regression (e.g. a broadcast falling back to
+sort-merge, a pruned scan widening to all columns) fails here rather
+than surfacing as a mystery slowdown at scale.
+"""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_registry_join_broadcasts(spark):
+    """J1: the small dimension side must broadcast, never sort-merge."""
+    plan = _plan(entry.q_cdc_schema_registry_join(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_scope_filter_prunes_columns(spark):
+    """P2/P3: a 3-column projection must reach the parquet scan as a
+    3-column ReadSchema — reading all 7 events columns would be wrong."""
+    plan = _plan(entry.q_cdc_scope_filter(spark, SF))
+    read = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read, plan
+    schema_part = read[0].split("ReadSchema:")[1]
+    assert "event_id" in schema_part and "user_id" in schema_part
+    assert "props" not in schema_part and "value" not in schema_part
+    assert "ts" not in schema_part.replace("event_type", "")
+
+
+def test_lww_reduce_is_two_phase_hash_agg(spark):
+    """§2.4: the LWW max-struct must compile to partial+final
+    HashAggregate (map-side combine) — a window row_number (sort per key)
+    would be the skew trap."""
+    plan = _plan(entry.q_cdc_lww_latest_state(spark, SF))
+    # struct-typed max compiles to SortAggregate (hash agg cannot buffer
+    # struct values) — the property that matters is the TWO-PHASE shape:
+    # a partial_max BELOW the exchange collapses hot keys map-side
+    assert "partial_max" in plan
+    before_exchange = plan.split("Exchange", 1)[1]
+    assert "partial_max" in before_exchange  # partial phase feeds the shuffle
+    assert "Window" not in plan
+
+
+def test_minhash_pairs_no_cartesian(spark):
+    """Dedup candidate generation is a banded equi-join; any cartesian or
+    broadcast-nested-loop means the blocking silently broke."""
+    from binlogsub_spark.functions.dedup import minhash_lsh_pairs
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(minhash_lsh_pairs(d, threshold=0.05))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_near_dup_no_cartesian(spark):
+    from pyspark.sql import functions as F
+
+    from binlogsub_spark.functions.similarity import embedding_near_dup
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    plan = _plan(embedding_near_dup(emb, threshold=0.99))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_single_window_no_join(spark):
+    """The as-of join must be union + ONE window pass — a range/theta join
+    over (ts <= ts) would be quadratic in the hot key."""
+    plan = _plan(entry.q_cdc_asof_join(spark, SF))
+    assert "Join" not in plan  # no join operator of any kind
+    assert plan.count("Window") >= 1
+
+
+def test_changelog_scan_reads_only_changed_buckets(spark, tmp_path):
+    """The changes() scan must carry the bucket filter into the plan
+    (partition pruning over _bucket=... directories)."""
+    from binlogsub_spark.config import EngineConfig
+    from binlogsub_spark.lake.table import LakeTable
+    from binlogsub_spark.pipeline import apply_batch
+    from binlogsub_spark.sources.generator import GeneratorParams, generate_binlog
+
+    ev = generate_binlog(spark, GeneratorParams(n_events=1000, n_convs=30, dup_tail=0))
+    table = LakeTable(spark, str(tmp_path / "t"), buckets=16)
+    apply_batch(table, ev.where("delivery_seq < 500"), batch_id=1,
+                cfg=EngineConfig(), persist_source=True)
+    s1 = table.snapshot()["snapshot_id"]
+    apply_batch(table, ev.where("delivery_seq >= 500"), batch_id=2,
+                cfg=EngineConfig(), persist_source=True)
+    plan = _plan(table.changes(s1))
+    assert "_bucket" in plan  # bucket predicate reached the scan
