@@ -199,7 +199,10 @@ def _gather_headers(data: np.ndarray, starts: np.ndarray, dt: np.dtype) -> np.nd
 
 
 def validate_reasons(
-    starts: np.ndarray, ends: np.ndarray, data: np.ndarray
+    starts: np.ndarray,
+    ends: np.ndarray,
+    data: np.ndarray,
+    structural_only: bool = False,
 ) -> np.ndarray:
     """Vectorized frame validation returning a per-frame reason code
     (REASON_OK = valid). The engine's analog of the reference's error-packet
@@ -207,7 +210,10 @@ def validate_reasons(
     branch), epoch-aware: the frame's own schema_version byte selects its
     layout. Beyond structure, conv_id/text must decode as UTF-8 — a frame
     with intact framing but garbage text is dead-lettered here rather than
-    exploding inside the typed decode."""
+    exploding inside the typed decode. ``structural_only=True`` skips the
+    UTF-8 scan (one pass over every payload byte) — for passes that never
+    materialize text, e.g. the touched-bucket pre-job, where a bad-UTF-8
+    frame merely contributes a harmless extra candidate bucket."""
     n = len(starts)
     lens = ends - starts
     reasons = np.zeros(n, dtype=np.uint8)
@@ -221,7 +227,10 @@ def validate_reasons(
     # one comparison pass + sparse positions. (The round-2 version built an
     # int64 cumsum over the whole buffer — 8 bytes of memory traffic per
     # payload byte, measured as ~70% of the entire decode cost.)
-    nonascii_pos = np.flatnonzero(data >= 0x80)
+    nonascii_pos = (
+        np.zeros(0, dtype=np.int64) if structural_only
+        else np.flatnonzero(data >= 0x80)
+    )
     if len(nonascii_pos):
         f = np.searchsorted(starts, nonascii_pos, side="right") - 1
         in_frame = (f >= 0) & (nonascii_pos < ends[np.clip(f, 0, n - 1)])
@@ -260,66 +269,126 @@ def validate_reasons(
 _TOOL_LUT = [f"tool_{i}" for i in range(255)] + [None]  # 0xff -> NULL sentinel
 
 
+def _fixed_to_string_arrow(fixed: np.ndarray, valid: np.ndarray | None = None):
+    """NUL-padded fixed-width byte column -> Arrow string array with NO
+    per-row Python strings (np.char.decode materializes a str object per
+    row — measured as the top cost of the header decode): lengths from the
+    first NUL byte (vectorized argmax), then one repeat/cumsum gather into
+    a contiguous UTF-8 buffer. ``valid=False`` rows become nulls."""
+    import pyarrow as pa
+
+    n = len(fixed)
+    w = fixed.dtype.itemsize
+    m = np.ascontiguousarray(fixed).view(np.uint8).reshape(n, w)
+    is_nul = m == 0
+    lens = np.where(is_nul.any(axis=1), is_nul.argmax(axis=1), w).astype(np.int64)
+    if valid is not None:
+        lens = np.where(valid, lens, 0)
+    off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=off[1:])
+    total = int(off[-1])
+    idx = np.repeat(np.arange(n, dtype=np.int64) * w, lens) + (
+        np.arange(total, dtype=np.int64) - np.repeat(off[:-1], lens)
+    )
+    validity = (
+        None if valid is None else pa.py_buffer(np.packbits(valid, bitorder="little"))
+    )
+    return pa.Array.from_buffers(
+        pa.string(),
+        n,
+        [validity, pa.py_buffer(off.astype(np.int32)), pa.py_buffer(m.ravel()[idx])],
+    )
+
+
 def _decode_group_arrow(
-    data: np.ndarray, starts: np.ndarray, ends: np.ndarray, dt: np.dtype
+    data: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    dt: np.dtype,
+    want: frozenset | None = None,
 ):
     """Decode one same-epoch group of frames into Arrow arrays: one header
     gather + one varlen text gather; every enum is a dictionary `take`
-    (the ENUM decode trick — codes index a table, event.cc:607-636)."""
+    (the ENUM decode trick — codes index a table, event.cc:607-636).
+
+    ``want`` prunes the output to a column subset: unrequested columns are
+    never materialized (the text gather — the dominant cost — is skipped
+    entirely when ``text`` is not wanted), and the Arrow IPC batch sent
+    back to the JVM carries only the requested columns."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
     hl = dt.itemsize
     n = len(starts)
     h = _gather_headers(data, starts, dt)
-    conv = np.char.decode(np.char.rstrip(h["conv_id"], b"\x00"), "utf-8")
-
-    # varlen text: one repeat/cumsum gather into a contiguous string buffer
-    text_lens = ends - starts - hl
-    out_off = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(text_lens, out=out_off[1:])
-    total = int(out_off[-1])
-    if total > np.iinfo(np.int32).max:
-        # int32 Arrow offsets would silently wrap into corrupt slices
-        raise ValueError(
-            f"{total} text bytes in one Arrow batch exceeds the 2 GiB "
-            "int32-offset limit; lower spark.sql.execution.arrow.maxRecordsPerBatch"
-        )
-    idx = np.repeat(starts + hl, text_lens) + (
-        np.arange(total, dtype=np.int64) - np.repeat(out_off[:-1], text_lens)
-    )
-    texts = pa.Array.from_buffers(
-        pa.string(),
-        n,
-        [None, pa.py_buffer(out_off.astype(np.int32)), pa.py_buffer(data[idx])],
-    )
 
     def _take(lut: list, codes: np.ndarray):
         return pc.take(pa.array(lut, type=pa.string()), pa.array(codes.astype(np.int64)))
 
-    ts = pa.array(h["ts_micros"].astype("int64")).cast(pa.timestamp("us"))
-    if "tool" in dt.names:
-        tool = _take(_TOOL_LUT, h["tool"])
-    else:
-        tool = pa.nulls(n, pa.string())  # pre-evolution epoch
+    cols: dict = {}
+
+    def _want(name: str) -> bool:
+        return want is None or name in want
+
+    if _want("conv_id"):
+        cols["conv_id"] = _fixed_to_string_arrow(h["conv_id"])
+    if _want("text"):
+        # varlen text: one repeat/cumsum gather into a contiguous buffer
+        text_lens = ends - starts - hl
+        out_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(text_lens, out=out_off[1:])
+        total = int(out_off[-1])
+        if total > np.iinfo(np.int32).max:
+            # int32 Arrow offsets would silently wrap into corrupt slices
+            raise ValueError(
+                f"{total} text bytes in one Arrow batch exceeds the 2 GiB "
+                "int32-offset limit; lower "
+                "spark.sql.execution.arrow.maxRecordsPerBatch"
+            )
+        idx = np.repeat(starts + hl, text_lens) + (
+            np.arange(total, dtype=np.int64) - np.repeat(out_off[:-1], text_lens)
+        )
+        cols["text"] = pa.Array.from_buffers(
+            pa.string(),
+            n,
+            [None, pa.py_buffer(out_off.astype(np.int32)), pa.py_buffer(data[idx])],
+        )
+
+    if _want("server_ts") or _want("ts"):
+        ts = pa.array(h["ts_micros"].astype("int64")).cast(pa.timestamp("us"))
+        if _want("server_ts"):
+            cols["server_ts"] = ts
+        if _want("ts"):
+            cols["ts"] = ts
+    if _want("file_seq"):
+        cols["file_seq"] = pa.array(h["file_seq"].astype("int32"))
+    if _want("log_pos"):
+        cols["log_pos"] = pa.array(h["log_pos"].astype("int64"))
+    if _want("op"):
+        cols["op"] = _take(list(_OPS), h["op"])
+    if _want("db_name"):
+        cols["db_name"] = _take(list(_DBS), h["scope"])
+    if _want("table_name"):
+        cols["table_name"] = _take(list(_TABLES), h["scope"])
+    if _want("schema_version"):
+        cols["schema_version"] = pa.array(h["schema_version"].astype("int32"))
+    if _want("turn_idx"):
+        cols["turn_idx"] = pa.array(h["turn_idx"].astype("int32"))
+    if _want("role"):
+        cols["role"] = _take(list(_ROLES), h["role"])
+    if _want("tool"):
+        cols["tool"] = (
+            _take(_TOOL_LUT, h["tool"]) if "tool" in dt.names
+            else pa.nulls(n, pa.string())  # pre-evolution epoch
+        )
+    # mapInArrow matches record batches to the declared schema positionally:
+    # emit in DECODED_SCHEMA field order
     return {
-        "file_seq": pa.array(h["file_seq"].astype("int32")),
-        "log_pos": pa.array(h["log_pos"].astype("int64")),
-        "server_ts": ts,
-        "op": _take(list(_OPS), h["op"]),
-        "db_name": _take(list(_DBS), h["scope"]),
-        "table_name": _take(list(_TABLES), h["scope"]),
-        "schema_version": pa.array(h["schema_version"].astype("int32")),
-        "conv_id": pa.array(conv),
-        "turn_idx": pa.array(h["turn_idx"].astype("int32")),
-        "role": _take(list(_ROLES), h["role"]),
-        "text": texts,
-        "tool": tool,
-        "ts": ts,
+        f.name: cols[f.name] for f in DECODED_SCHEMA.fields if f.name in cols
     }
 
 
-def _decode_frames_arrow(data, starts, ends):
+def _decode_frames_arrow(data, starts, ends, want: frozenset | None = None):
     """Valid frames -> list of per-epoch column dicts (the batch splits into
     per-epoch groups, each decoded in one gather pass — the in-band schema
     lookup the reference does per event via its table-map cache,
@@ -333,7 +402,7 @@ def _decode_frames_arrow(data, starts, ends):
     for v, dt in _HEADER_DTYPES.items():
         g = versions == v
         if g.any():
-            out.append(_decode_group_arrow(data, starts[g], ends[g], dt))
+            out.append(_decode_group_arrow(data, starts[g], ends[g], dt, want))
     return out
 
 
@@ -360,13 +429,49 @@ def decode_payload_batch(payloads: pd.Series) -> pd.DataFrame:
     return parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
 
 
-def decode_raw_events(raw_df: DataFrame, skip_invalid: bool = True) -> DataFrame:
+_SCOPE_OFFSET = 22  # scope byte position (common prefix)
+
+
+def scope_codes_for(db_regex: str, table_regex: str) -> frozenset:
+    """Which wire scope codes satisfy the configured (db, table) regexes —
+    the raw-path analog of ``scope_registry`` (P2 pushdown): the filter
+    becomes a byte comparison INSIDE the decode kernel, before any value
+    is materialized (reference skips row decode for unmatched tables,
+    /root/reference/packet.cc:201-205)."""
+    import re
+
+    db_re, tbl_re = re.compile(db_regex), re.compile(table_regex)
+    return frozenset(
+        c
+        for c in range(len(_DBS))
+        if db_re.search(_DBS[c]) and tbl_re.search(_TABLES[c])
+    )
+
+
+def decode_raw_events(
+    raw_df: DataFrame,
+    skip_invalid: bool = True,
+    columns: list[str] | None = None,
+    scope_codes: frozenset | None = None,
+) -> DataFrame:
     """payload:binary -> typed change records via mapInArrow: the payload
     column's own Arrow buffers are indexed directly (zero-copy), so the hot
     path never materializes a Python bytes object per row. Structurally
     invalid payloads are dropped here (route them to a dead-letter sink
-    first via ``split_deadletter`` if they must be kept)."""
+    first via ``split_deadletter`` if they must be kept).
+
+    ``columns`` prunes the decode to a subset of DECODED_SCHEMA fields —
+    unrequested columns are never gathered and never cross the Arrow IPC
+    boundary. ``scope_codes`` (see ``scope_codes_for``) drops out-of-scope
+    frames on their scope byte before decoding a single value."""
     import pyarrow as pa
+
+    want = frozenset(columns) if columns is not None else None
+    out_schema = (
+        DECODED_SCHEMA
+        if want is None
+        else T.StructType([f for f in DECODED_SCHEMA.fields if f.name in want])
+    )
 
     def _decode(batches) -> Iterator["pa.RecordBatch"]:
         for rb in batches:
@@ -375,10 +480,70 @@ def decode_raw_events(raw_df: DataFrame, skip_invalid: bool = True) -> DataFrame
             if skip_invalid:
                 keep = validate_reasons(starts, ends, data) == REASON_OK
                 starts, ends = starts[keep], ends[keep]
-            for cols in _decode_frames_arrow(data, starts, ends):
+            if scope_codes is not None and len(starts):
+                lens = ends - starts
+                long_enough = lens > _SCOPE_OFFSET
+                sc = np.zeros(len(starts), dtype=np.uint8)
+                sc[long_enough] = data[starts[long_enough] + _SCOPE_OFFSET]
+                in_scope = long_enough & np.isin(sc, list(scope_codes))
+                starts, ends = starts[in_scope], ends[in_scope]
+            for cols in _decode_frames_arrow(data, starts, ends, want):
                 yield pa.RecordBatch.from_pydict(cols)
 
-    return raw_df.mapInArrow(_decode, schema=DECODED_SCHEMA)
+    return raw_df.mapInArrow(_decode, schema=out_schema)
+
+
+RAW_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("file_seq", T.IntegerType()),
+        T.StructField("log_pos", T.LongType()),
+        T.StructField("conv_id", T.StringType()),
+    ]
+)
+
+
+def raw_frame_stats_df(
+    raw_df: DataFrame, scope_codes: frozenset | None = None
+) -> DataFrame:
+    """ONE header-only kernel pass emitting (file_seq, log_pos, conv_id?)
+    per input frame — the pre-merge job of the raw path. file_seq/log_pos
+    pass through from the framed OUTER columns untouched (every frame keeps
+    its lineage identity, valid or not); conv_id is gathered only for
+    structurally-valid in-scope frames and is NULL otherwise. One
+    aggregation over this yields the per-file offset frontier, the event
+    counts AND the touched-COW-bucket set — no text gather, no UTF-8 scan,
+    no second scan of the source."""
+    import pyarrow as pa
+
+    def _stats(batches) -> Iterator["pa.RecordBatch"]:
+        for rb in batches:
+            arr = rb.column(rb.schema.get_field_index("payload"))
+            starts, ends, data = _binary_buffers(arr)
+            n = len(starts)
+            valid = validate_reasons(starts, ends, data, structural_only=True) == REASON_OK
+            if scope_codes is not None and n:
+                long_enough = (ends - starts) > _SCOPE_OFFSET
+                sc = np.zeros(n, dtype=np.uint8)
+                sc[long_enough] = data[starts[long_enough] + _SCOPE_OFFSET]
+                valid &= long_enough & np.isin(sc, list(scope_codes))
+            conv_mat = np.zeros(n, dtype="S24")
+            ok = np.flatnonzero(valid)
+            if ok.size:
+                versions = data[starts[ok] + _VERSION_OFFSET]
+                for v, dt in _HEADER_DTYPES.items():
+                    g = ok[versions == v]
+                    if g.size:
+                        conv_mat[g] = _gather_headers(data, starts[g], dt)["conv_id"]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(rb.schema.get_field_index("file_seq")),
+                    rb.column(rb.schema.get_field_index("log_pos")),
+                    _fixed_to_string_arrow(conv_mat, valid=valid),
+                ],
+                names=["file_seq", "log_pos", "conv_id"],
+            )
+
+    return raw_df.mapInArrow(_stats, schema=RAW_STATS_SCHEMA)
 
 
 def split_deadletter(raw_df: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -139,7 +139,19 @@ def _encode_scalar(v) -> tuple[int, bytes]:
     if code == J_STRING:
         b = v.encode("utf-8")
         return code, _write_varlen(len(b)) + b
-    return code, _pack_container(v, large=_needs_large(v))
+    return _encode_container(v)
+
+
+def _encode_container(v) -> tuple[int, bytes]:
+    """Container -> (ACTUAL type code, payload). The type code must reflect
+    the format really packed: ``_pack_container`` may upgrade small->large
+    when the payload overflows u16 offsets, and a large parent packs nested
+    containers in whatever format THEY need — the entry's type byte has to
+    match, or the decoder reads u16 offsets over a u32 layout (garbage)."""
+    large, payload = _pack_container(v, large=_needs_large(v))
+    if isinstance(v, dict):
+        return (J_LARGE_OBJECT if large else J_SMALL_OBJECT), payload
+    return (J_LARGE_ARRAY if large else J_SMALL_ARRAY), payload
 
 
 def _needs_large(v) -> bool:
@@ -148,8 +160,10 @@ def _needs_large(v) -> bool:
     return len(json.dumps(v)) + 32 * (len(v) if hasattr(v, "__len__") else 1) > 60000
 
 
-def _pack_container(v, large: bool) -> bytes:
-    """OBJECT/ARRAY payload (everything after the type byte)."""
+def _pack_container(v, large: bool) -> tuple[bool, bytes]:
+    """OBJECT/ARRAY payload (everything after the type byte) ->
+    (large_format_used, payload). The bool propagates the small->large
+    fallback so the caller emits the matching type byte."""
     is_obj = isinstance(v, dict)
     items = list(v.items()) if is_obj else list(v)
     count = len(items)
@@ -178,8 +192,10 @@ def _pack_container(v, large: bool) -> bytes:
         if can_inline:
             value_entries.append(bytes([code]) + _inline_bytes(val, osz))
         else:
-            value_entries.append((code, vals_base + len(values)))
+            # encode FIRST: for a nested container the actual type code
+            # (small vs large) is only known after packing it
             c2, payload = _encode_scalar(val)
+            value_entries.append((c2, vals_base + len(values)))
             values += payload
     size = vals_base + len(values)
     if not large and size >= 1 << 16:
@@ -196,20 +212,12 @@ def _pack_container(v, large: bool) -> bytes:
             code, off = ve
             out += bytes([code]) + off.to_bytes(osz, "little")
     out += keys + values
-    return bytes(out)
+    return large, bytes(out)
 
 
 def json_to_binary(v) -> bytes:
     """Python value (parsed JSON) -> full MySQL binary JSON value
     (type byte + payload). Top-level scalars use their scalar form."""
-    if isinstance(v, (dict, list, tuple)):
-        large = _needs_large(v)
-        code = (
-            (J_LARGE_OBJECT if large else J_SMALL_OBJECT)
-            if isinstance(v, dict)
-            else (J_LARGE_ARRAY if large else J_SMALL_ARRAY)
-        )
-        return bytes([code]) + _pack_container(v, large=large)
     code, payload = _encode_scalar(v)
     return bytes([code]) + payload
 

@@ -351,6 +351,7 @@ class LakeTable:
         batch_id: int,
         watermark: dict | None = None,
         pre_reduced: bool = False,
+        touched_buckets: list[int] | None = None,
     ) -> dict:
         """MERGE INTO … USING upserts ON (conv_id, turn_idx) with LWW.
 
@@ -369,6 +370,17 @@ class LakeTable:
           the right trade on a real cluster where exchanges cross the
           network, at the cost of an Arrow/Python boundary pass.
 
+        ``touched_buckets``: a pre-computed SUPERSET of the hash buckets the
+        batch touches (``bucket_expr`` over the batch's merge keys). With it
+        the merge is ONE job over ``upserts`` — no persist through the block
+        store, no separate distinct-buckets job; callers that can read the
+        key column cheaply (column-pruned parquet scan) piggyback the bucket
+        set on their lineage aggregation. A superset only rewrites extra
+        buckets byte-identically — never wrong, at worst slightly wasteful.
+        Without it the merge persists the reduced winners and runs a small
+        distinct job (the right trade when ``upserts`` is an expensive
+        computed plan whose recomputation would dominate).
+
         Applied/skipped metrics ride the write job via Observation — the
         merge never runs a separate metrics join or count over the data.
         """
@@ -385,13 +397,21 @@ class LakeTable:
         winners = winners.withColumn(
             "_bucket", bucket_expr(MERGE_KEY[0], self.buckets)
         )
-        winners.persist()
+        one_pass = touched_buckets is not None
+        if not one_pass:
+            winners.persist()
         try:
-            # job 1 (small): which buckets does this batch touch? This is the
-            # copy-on-write pruning decision — everything else is one job.
-            touched = sorted(
-                r["_bucket"] for r in winners.select("_bucket").distinct().collect()
-            )
+            if one_pass:
+                touched = sorted(
+                    {int(b) for b in touched_buckets if 0 <= int(b) < self.buckets}
+                )
+            else:
+                # job 1 (small): which buckets does this batch touch? This is
+                # the copy-on-write pruning decision — the rest is one job.
+                touched = sorted(
+                    r["_bucket"]
+                    for r in winners.select("_bucket").distinct().collect()
+                )
 
             old_schema = self._schema(snap) if snap else None
             new_schema = T.StructType(
@@ -433,7 +453,7 @@ class LakeTable:
                 str(b): None for b in range(self.buckets)
             }
             commit_rel = f"commit-{snapshot_id:08d}"
-            applied, n_winners = 0, 0
+            applied, n_winners = 0, (None if one_pass else 0)
             if touched:
                 obs = Observation(f"merge-{batch_id}")
                 out_cols = [
@@ -455,7 +475,13 @@ class LakeTable:
                     .parquet(os.path.join(self.data_dir, commit_rel))
                 )
                 applied = obs.get["applied"]
-                n_winners = winners.count()  # cached — near-free
+                # one-pass mode never materializes `winners` separately, so
+                # the pre-reduce winner count (a diagnostic, not a contract
+                # metric — applied/skipped come from the Observation and the
+                # caller's lineage job) is not known. An Observation BELOW
+                # the union never resolves under the streaming foreachBatch
+                # listener (hangs), so it stays unknown rather than clever.
+                n_winners = None if one_pass else winners.count()  # cached
                 for b in touched:
                     bucket_locations[str(b)] = commit_rel
 
@@ -474,12 +500,15 @@ class LakeTable:
             self._commit(manifest)
             return {
                 "applied": applied,
-                "superseded": n_winners - applied,
+                "superseded": (
+                    None if n_winners is None else n_winners - applied
+                ),
                 "replayed": False,
                 "snapshot_id": snapshot_id,
             }
         finally:
-            winners.unpersist()
+            if not one_pass:
+                winners.unpersist()
 
     @staticmethod
     def _advance_watermark(old: dict | None, new: dict | None) -> dict | None:

@@ -62,10 +62,19 @@ ROTATE_EVENT = 4
 FORMAT_DESCRIPTION_EVENT = 15
 XID_EVENT = 16
 TABLE_MAP_EVENT = 19
+WRITE_ROWS_EVENT_V1 = 23  # MySQL 5.1.16-5.6 rows events: same layout as
+UPDATE_ROWS_EVENT_V1 = 24  # v2 minus the extra-data field (the reference
+DELETE_ROWS_EVENT_V1 = 25  # dispatches both generations, packet.cc:70-109)
 WRITE_ROWS_EVENT_V2 = 30
 UPDATE_ROWS_EVENT_V2 = 31
 DELETE_ROWS_EVENT_V2 = 32
-ROWS_EVENTS = (WRITE_ROWS_EVENT_V2, UPDATE_ROWS_EVENT_V2, DELETE_ROWS_EVENT_V2)
+ROWS_EVENTS_V1 = (WRITE_ROWS_EVENT_V1, UPDATE_ROWS_EVENT_V1, DELETE_ROWS_EVENT_V1)
+ROWS_EVENTS_V2 = (WRITE_ROWS_EVENT_V2, UPDATE_ROWS_EVENT_V2, DELETE_ROWS_EVENT_V2)
+ROWS_EVENTS = ROWS_EVENTS_V1 + ROWS_EVENTS_V2
+# pre-5.1.16 rows events (v0): layout differs (no flags2/var-header); frames
+# with these codes dead-letter as unsupported_event instead of vanishing
+ROWS_EVENTS_V0 = (20, 21, 22)
+UPDATE_ROWS_EVENTS = (UPDATE_ROWS_EVENT_V1, UPDATE_ROWS_EVENT_V2)
 
 # column type codes (include/field_types.h, public)
 MYSQL_TYPE_TINY = 1
@@ -164,9 +173,11 @@ class MysqlColumn:
         if c == MYSQL_TYPE_NEWDECIMAL:
             prec, scale = self.meta
             if prec > 38:
-                raise ValueError(
-                    f"DECIMAL({prec},{scale}) exceeds Spark's 38-digit cap"
-                )
+                # MySQL allows DECIMAL up to 65 digits (reference decodes
+                # the full range, mydecimal.cc:33-131); Spark's DecimalType
+                # caps at 38, so wider columns decode EXACTLY to their
+                # canonical string form instead of being refused
+                return T.StringType()
             return T.DecimalType(prec, scale)
         if c in (MYSQL_TYPE_VARCHAR, MYSQL_TYPE_VAR_STRING, MYSQL_TYPE_JSON):
             return T.StringType()
@@ -382,11 +393,13 @@ def encode_rows_event(
     present2: list[int] | None = None,
     **kw,
 ) -> bytes:
-    """WRITE/UPDATE/DELETE rows event v2. ``rows``: tuples of column values
-    (None = NULL); for UPDATE each entry is a (before, after) pair.
-    ``present``/``present2`` are the before/after columns-present sets —
-    differing sets model binlog_row_image=MINIMAL/NOBLOB (the before image
-    carries the key, the after image the changed columns)."""
+    """WRITE/UPDATE/DELETE rows event, either generation (v2 codes 30-32
+    carry the extra-data field; v1 codes 23-25 omit it — the only layout
+    difference). ``rows``: tuples of column values (None = NULL); for
+    UPDATE each entry is a (before, after) pair. ``present``/``present2``
+    are the before/after columns-present sets — differing sets model
+    binlog_row_image=MINIMAL/NOBLOB (the before image carries the key,
+    the after image the changed columns)."""
     width = len(tmap.columns)
     present = present if present is not None else list(range(width))
     nbm = (width + 7) // 8
@@ -397,14 +410,11 @@ def encode_rows_event(
             b[ci // 8] |= 1 << (ci % 8)
         return bytes(b)
 
-    body = (
-        tmap.table_id.to_bytes(6, "little")
-        + struct.pack("<H", 0)
-        + struct.pack("<H", 2)  # extra-data length (includes itself)
-        + _lenenc(width)
-        + _bits(present)
-    )
-    if type_code == UPDATE_ROWS_EVENT_V2:
+    body = tmap.table_id.to_bytes(6, "little") + struct.pack("<H", 0)
+    if type_code >= WRITE_ROWS_EVENT_V2:
+        body += struct.pack("<H", 2)  # extra-data length (includes itself)
+    body += _lenenc(width) + _bits(present)
+    if type_code in UPDATE_ROWS_EVENTS:
         p2 = present2 if present2 is not None else present
         body += _bits(p2)  # bitmap2 (after image)
         for before, after in rows:
@@ -642,7 +652,8 @@ def _decode_newdecimal_wide(
     int64 kernel but accumulating through object arithmetic — the rare-type
     fallback that keeps 30-digit decimals exact instead of aborting
     (parity with bin2decimal's full 65-digit range, mydecimal.cc:33-131,
-    capped at Spark's DecimalType(38) ceiling)."""
+    full 65-digit range: <=38 lands in DecimalType, wider in exact
+    canonical strings)."""
     size = decimal_bin_size(prec, scale)
     m = _gather_fixed(data, pos, size).astype(np.uint8).copy()
     positive = (m[:, 0] & 0x80) != 0
@@ -860,6 +871,33 @@ def _record_wave(
         )
 
 
+def _rows_post_header_pos(
+    data: np.ndarray, starts: np.ndarray, type_codes: np.ndarray
+) -> np.ndarray:
+    """Position just past the rows-event post-header: table_id(6) +
+    flags(2), plus the var-length extra-data field that only the v2
+    generation carries (v1 goes straight to the width lenenc — the ONLY
+    layout difference between the generations, which is why one decoder
+    serves both; reference dispatch: packet.cc:70-109)."""
+    pos = (starts + HEADER_LEN + 8).astype(np.int64)
+    is_v2 = type_codes >= WRITE_ROWS_EVENT_V2
+    if is_v2.any():
+        extra = np.zeros(len(pos), dtype=np.int64)
+        extra[is_v2] = _u_le(data, pos[is_v2], 2).astype(np.int64)
+        pos = pos + extra  # extra-data length includes its own two bytes
+    return pos
+
+
+def _rows_op_index(type_codes: np.ndarray) -> np.ndarray:
+    """Rows-event type code (either generation) -> 0/1/2 = I/U/D."""
+    t = type_codes.astype(np.int64)
+    return np.where(
+        t >= WRITE_ROWS_EVENT_V2,
+        t - WRITE_ROWS_EVENT_V2,
+        t - WRITE_ROWS_EVENT_V1,
+    )
+
+
 def decode_rows_frames(
     data: np.ndarray,
     starts: np.ndarray,
@@ -893,9 +931,7 @@ def decode_rows_frames(
     nbm = (width + 7) // 8
     body_end = ends - (4 if checksum else 0)
 
-    pos = starts + HEADER_LEN + 8  # skip table_id(6) + flags(2)
-    extra = _u_le(data, pos, 2).astype(np.int64)
-    pos = pos + extra  # extra-data length includes its own two bytes
+    pos = _rows_post_header_pos(data, starts, type_codes)
     from binlogsub_spark.codec import read_lenenc_int
 
     width_vals, pos = read_lenenc_int(data, pos)
@@ -903,7 +939,7 @@ def decode_rows_frames(
         raise ValueError("rows-event width != table-map column count")
     pres1 = _bit_matrix(data, pos, nbm, width)
     pos = pos + nbm
-    is_update = type_codes == UPDATE_ROWS_EVENT_V2
+    is_update = np.isin(type_codes, UPDATE_ROWS_EVENTS)
     pres2 = pres1.copy()
     if is_update.any():
         pres2[is_update] = _bit_matrix(data, pos[is_update], nbm, width)
@@ -927,7 +963,7 @@ def decode_rows_frames(
     nb_null_a = (len(main_cols) + 7) // 8
 
     _OP_BY_CODE = np.array(["I", "U", "D"], dtype=object)
-    ops_per_frame = _OP_BY_CODE[type_codes.astype(np.int64) - WRITE_ROWS_EVENT_V2]
+    ops_per_frame = _OP_BY_CODE[_rows_op_index(type_codes)]
 
     # accumulators (per wave-image, appended in lockstep with frame_idx)
     frame_idx_waves: list[np.ndarray] = []
@@ -1046,6 +1082,11 @@ _OP_TO_EVENT = {
     "U": UPDATE_ROWS_EVENT_V2,
     "D": DELETE_ROWS_EVENT_V2,
 }
+_OP_TO_EVENT_V1 = {
+    "I": WRITE_ROWS_EVENT_V1,
+    "U": UPDATE_ROWS_EVENT_V1,
+    "D": DELETE_ROWS_EVENT_V1,
+}
 
 
 def encode_rows_df(
@@ -1059,6 +1100,7 @@ def encode_rows_df(
     op_col: str | None = None,
     tmap_col: str | None = None,
     tmaps: dict[int, TableMap] | None = None,
+    rows_version: int = 2,
 ) -> DataFrame:
     """Flat typed rows -> genuine-format framed binlog events (the fixture
     factory feeding decode_mysql_events; per-row Python is fine here —
@@ -1072,7 +1114,8 @@ def encode_rows_df(
     ``log_pos_col`` carries true positions (use rows_per_event=1 so each
     change keeps its own position). ``tmap_col`` + ``tmaps`` pick a
     per-row table map by id — two epochs of one logical table is exactly
-    MySQL's ALTER-then-new-table_id shape."""
+    MySQL's ALTER-then-new-table_id shape. ``rows_version=1`` emits the
+    5.1-5.6 v1 rows events (codes 23-25, no extra-data field)."""
     import pandas as pd
     import pyarrow as pa
 
@@ -1148,9 +1191,9 @@ def encode_rows_df(
                 ):
                     j += 1
                 chunk = rows[i:j]
-                etype = _OP_TO_EVENT[op]
+                etype = (_OP_TO_EVENT_V1 if rows_version == 1 else _OP_TO_EVENT)[op]
                 images = [
-                    (r[4], r[4]) if etype == UPDATE_ROWS_EVENT_V2 else r[4]
+                    (r[4], r[4]) if etype in UPDATE_ROWS_EVENTS else r[4]
                     for r in chunk
                 ]
                 payloads.append(
@@ -1179,7 +1222,8 @@ def encode_gtid(sid: bytes, gno: int, checksum: bool = False, **kw) -> bytes:
     """GTID_LOG_EVENT: commit flag u8 + 16-byte source UUID + u64 LE
     transaction number (the per-transaction identity of the north rule's
     'GTID+log-position ordering')."""
-    assert len(sid) == 16
+    if len(sid) != 16:
+        raise ValueError(f"GTID source id must be 16 bytes, got {len(sid)}")
     body = b"\x01" + sid + int(gno).to_bytes(8, "little")
     return _finish_event(GTID_LOG_EVENT, body, checksum=checksum, **kw)
 
@@ -1265,6 +1309,7 @@ MYSQL_REASON_NAMES = np.array(
         "unknown_table_id",  # rows-event whose table map was never seen
         "width_mismatch",  # rows-event width != table-map column count
         "unsupported_type",  # table has a column the decoder cannot type
+        "unsupported_event",  # rows-event generation the decoder cannot parse
     ]
 )
 
@@ -1348,17 +1393,21 @@ def probe_mysql_semantics(
     failures the wave decoder would otherwise hit mid-task — unknown
     table_id (map lost: NOT the scope filter, which needs the id to be
     known), width mismatch against the registry, and unsupported column
-    types (JSON, >38-digit decimals, geometry). Cheap: type-byte gather,
+    types (geometry and other exotic codes). Cheap: type-byte gather,
     one lenenc read, per-TABLE (not per-frame) type checks."""
     ok = np.flatnonzero(reasons == 0)
     if len(ok) == 0:
         return reasons
     tcodes = data[starts[ok] + 4]
+    # pre-5.1.16 rows generations (v0): layout unknown to the decoder —
+    # dead-letter explicitly instead of silently ignoring row data
+    reasons[ok[np.isin(tcodes, ROWS_EVENTS_V0)]] = 7  # unsupported_event
     ridx = ok[np.isin(tcodes, ROWS_EVENTS)]
     if len(ridx) == 0:
         return reasons
     from binlogsub_spark.codec import read_lenenc_int
 
+    rcodes = tcodes[np.isin(tcodes, ROWS_EVENTS)]
     tids = _u_le(data, starts[ridx] + HEADER_LEN, 6).astype(np.int64)
     for tid in np.unique(tids):
         sel = ridx[tids == tid]
@@ -1370,8 +1419,7 @@ def probe_mysql_semantics(
         if _table_has_unsupported_type(tm):
             reasons[sel] = 6  # unsupported_type
             continue
-        pos = starts[sel] + HEADER_LEN + 8
-        pos = pos + _u_le(data, pos, 2).astype(np.int64)
+        pos = _rows_post_header_pos(data, starts[sel], rcodes[tids == tid])
         width_vals, _ = read_lenenc_int(data, pos)
         reasons[sel[width_vals != len(tm.columns)]] = 5  # width_mismatch
     return reasons
@@ -1582,15 +1630,13 @@ def _rows_signatures(
     signature decode together as one uniform wave group — how MINIMAL /
     NOBLOB row images coexist with FULL ones in a single batch."""
     nbm = (width + 7) // 8
-    pos = starts + HEADER_LEN + 8
-    extra = _u_le(data, pos, 2).astype(np.int64)
-    pos = pos + extra
+    pos = _rows_post_header_pos(data, starts, type_codes)
     from binlogsub_spark.codec import read_lenenc_int
 
     _, pos = read_lenenc_int(data, pos)
     pres1 = _gather_fixed(data, pos, nbm)
     pos = pos + nbm
-    is_update = type_codes == UPDATE_ROWS_EVENT_V2
+    is_update = np.isin(type_codes, UPDATE_ROWS_EVENTS)
     pres2 = pres1.copy()
     if is_update.any():
         pres2[is_update] = _gather_fixed(data, pos[is_update], nbm)
@@ -1663,8 +1709,17 @@ def decode_mysql_events(
     include_before: bool = False,
     on_error: str = "skip",
     known_table_ids: set[int] | None = None,
+    verify_crc: bool = False,
 ) -> DataFrame:
     """Framed MySQL binlog events -> typed change records via mapInArrow.
+
+    NOTE ``skip_invalid`` drops frames on LENGTH checks only by default —
+    CRC is NOT verified on the hot path (parity with the reference, which
+    only strips the trailer, packet.cc:117-119). A bit-flipped frame with
+    self-consistent lengths would decode into garbage values; direct
+    callers that need CRC-checked dropping (and are not routing through
+    split_deadletter_mysql, which always verifies fully) must pass
+    ``verify_crc=True``.
 
     ``registry`` maps table_id -> TableMap (extracted+broadcast if omitted);
     ``column_overrides`` replaces a table's parsed columns with named/
@@ -1712,10 +1767,11 @@ def decode_mysql_events(
             )
             for tid, tm in registry.items()
         }
-    # tables with columns the engine cannot type (JSON, geometry, >38-digit
-    # decimals) are excluded up front: their frames dead-letter with reason
-    # 'unsupported_type' in split_deadletter_mysql rather than breaking the
-    # union schema or aborting mid-task
+    # tables with columns the engine cannot type (geometry and other exotic
+    # wire types; JSON and 39-65-digit decimals ARE supported) are excluded
+    # up front: their frames dead-letter with reason 'unsupported_type' in
+    # split_deadletter_mysql rather than breaking the union schema or
+    # aborting mid-task
     registry = {
         tid: tm
         for tid, tm in registry.items()
@@ -1812,6 +1868,20 @@ def decode_mysql_events(
             return pa.array(vals.astype(np.int32), type=pa.date32(), mask=mask)
         if c.ctype == MYSQL_TYPE_NEWDECIMAL:
             prec, scale = c.meta
+            if prec > 38:
+                # beyond decimal128: exact canonical string (sign, integer
+                # part without leading zeros, exactly `scale` fraction
+                # digits — MySQL's textual form)
+                def _fmt(v) -> str:
+                    a = abs(int(v))
+                    ip, fp = divmod(a, 10**scale) if scale else (a, 0)
+                    txt = f"{ip}.{fp:0{scale}d}" if scale else str(ip)
+                    return "-" + txt if int(v) < 0 else txt
+
+                return pa.array(
+                    [None if nz else _fmt(v) for v, nz in zip(vals, nulls)],
+                    type=pa.string(),
+                )
             dtype_dec = pa.decimal128(prec, scale)
             if vals.dtype == object:  # wide: exact Python ints
                 from decimal import Context, Decimal
@@ -1880,7 +1950,8 @@ def decode_mysql_events(
                 # strips the trailer, packet.cc:117-119)
                 keep = (
                     validate_mysql_frames(
-                        data, starts, ends, checksum=checksum, verify_crc=False
+                        data, starts, ends, checksum=checksum,
+                        verify_crc=verify_crc,
                     )
                     == 0
                 )

@@ -99,12 +99,14 @@ def apply_batch(
     /root/reference/packet.cc:207-210; we commit offsets atomically WITH
     the merge by writing them into the same snapshot manifest).
 
-    The per-file_seq lineage job reads ONLY (file_seq, log_pos) — for a
-    columnar source that scan is column-pruned and nearly free, so the
-    default is two scans (tiny pruned + full) rather than caching the
-    whole micro-batch through the block store. ``persist_source=True``
-    is for callers whose input is an EXPENSIVE computed plan (e.g. an
-    in-flight encode), where recomputation would dominate."""
+    The per-file_seq lineage job reads ONLY (file_seq, log_pos, key) — for
+    a columnar source that scan is column-pruned and nearly free — and the
+    same aggregation collects the touched-bucket SET per file, so the merge
+    runs as ONE job over the source (no winners persist, no distinct-buckets
+    job: exactly one full scan of the batch, zero block-store traffic).
+    ``persist_source=True`` is for callers whose input is an EXPENSIVE
+    computed plan (e.g. an in-flight encode), where recomputing it even
+    twice (pruned + full) would dominate."""
     cfg = cfg or EngineConfig()
     from pyspark import StorageLevel
 
@@ -112,14 +114,32 @@ def apply_batch(
         events.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         # per-file_seq offset frontier + counts (the per-partition lineage
-        # of the north rule) — pruned projection, never the payload columns
+        # of the north rule) — pruned projection, never the payload columns.
+        # The same pass hashes the merge key to its COW bucket: the union of
+        # per-file bucket sets is a superset of the buckets the merge will
+        # touch (superset because scope filtering happens later), which lets
+        # the merge skip its own distinct-buckets job entirely.
+        img_conv = F.when(
+            F.col("op") == OP_DELETE, F.col("before.conv_id")
+        ).otherwise(F.col("after.conv_id"))
         per_file = (
-            events.select("file_seq", "log_pos")
+            events.select(
+                "file_seq",
+                "log_pos",
+                F.pmod(F.xxhash64(img_conv), F.lit(table.buckets))
+                .cast("int")
+                .alias("_b"),
+            )
             .groupBy("file_seq")
-            .agg(F.max("log_pos").alias("max_log_pos"), F.count("*").alias("events"))
+            .agg(
+                F.max("log_pos").alias("max_log_pos"),
+                F.count("*").alias("events"),
+                F.collect_set("_b").alias("buckets"),
+            )
             .collect()
         )
         total = sum(r["events"] for r in per_file)
+        touched = sorted({b for r in per_file for b in r["buckets"]})
         watermark = None
         if per_file:
             top = max(per_file, key=lambda r: (r["file_seq"], r["max_log_pos"]))
@@ -128,7 +148,11 @@ def apply_batch(
         upserts = prepare_upserts(events, cfg)
         partials = partial_lww_reduce(upserts, salt=cfg.skew_salt)
         res = table.merge(
-            partials, batch_id=batch_id, watermark=watermark, pre_reduced=True
+            partials,
+            batch_id=batch_id,
+            watermark=watermark,
+            pre_reduced=True,
+            touched_buckets=touched,
         )
     finally:
         if persist_source:
@@ -209,15 +233,23 @@ def run_stream(
     return writer.start()
 
 
-def flat_to_upserts(decoded: DataFrame, cfg: EngineConfig) -> DataFrame:
+def flat_to_upserts(
+    decoded: DataFrame, cfg: EngineConfig, pre_scoped: bool = False
+) -> DataFrame:
     """Decoded flat change records (codec.DECODED_SCHEMA) -> upsert rows.
 
     The raw-path analog of flatten_envelope: scope filter FIRST (P2 before
     any shuffle — /root/reference/packet.cc:201-205), then version columns.
-    """
-    scoped = decoded.where(
-        F.col("db_name").rlike(cfg.scope.db_regex)
-        & F.col("table_name").rlike(cfg.scope.table_regex)
+    ``pre_scoped=True`` skips the rlike filter — the decode kernel already
+    dropped out-of-scope frames on their scope byte (``scope_codes``), so
+    db_name/table_name need not even exist in ``decoded``."""
+    scoped = (
+        decoded
+        if pre_scoped
+        else decoded.where(
+            F.col("db_name").rlike(cfg.scope.db_regex)
+            & F.col("table_name").rlike(cfg.scope.table_regex)
+        )
     )
     is_del = F.col("op") == OP_DELETE
     payload = [
@@ -253,33 +285,71 @@ def apply_raw_batch(
     OUTSIDE the payload — so the stats job reads a column-pruned
     projection and NEVER touches the payload bytes (round-2 persisted the
     full binary column through the block store just for this count,
-    tripling per-event cost); the decode job is the only reader of the
-    payload. ``persist_source=True`` restores caching for callers whose
-    input is an expensive computed plan."""
+    tripling per-event cost).
+
+    Job structure (nothing is ever cached, no block-store traffic):
+      1. ONE header-only kernel pass (no text gather, no UTF-8 scan) ->
+         per-file lineage AND touched COW buckets in the same aggregation,
+      2. full decode (pruned to the scoped columns, scope filter in-kernel
+         on the scope byte) -> salted partial LWW -> one-pass MERGE.
+    ``persist_source=True`` restores caching for callers whose input is an
+    expensive computed plan."""
     from pyspark import StorageLevel
 
-    from binlogsub_spark.codec import decode_raw_events
+    from binlogsub_spark.codec import (
+        DECODED_SCHEMA,
+        decode_raw_events,
+        raw_frame_stats_df,
+        scope_codes_for,
+    )
+    from binlogsub_spark.lake.table import bucket_expr
 
     cfg = cfg or EngineConfig()
     if persist_source:
         raw_events.persist(StorageLevel.MEMORY_AND_DISK)
     try:
+        codes = scope_codes_for(cfg.scope.db_regex, cfg.scope.table_regex)
         per_file = (
-            raw_events.select("file_seq", "log_pos")
+            raw_frame_stats_df(raw_events, scope_codes=codes)
             .groupBy("file_seq")
-            .agg(F.max("log_pos").alias("max_log_pos"), F.count("*").alias("events"))
+            .agg(
+                F.max("log_pos").alias("max_log_pos"),
+                F.count("*").alias("events"),
+                F.collect_set(
+                    F.when(
+                        F.col("conv_id").isNotNull(),
+                        bucket_expr("conv_id", table.buckets),
+                    )
+                ).alias("buckets"),
+            )
             .collect()
         )
         total = sum(r["events"] for r in per_file)
+        touched = sorted(
+            {b for r in per_file for b in r["buckets"] if b is not None}
+        )
         watermark = None
         if per_file:
             top = max(per_file, key=lambda r: (r["file_seq"], r["max_log_pos"]))
             watermark = {"file_seq": top["file_seq"], "log_pos": top["max_log_pos"]}
 
-        decoded = decode_raw_events(raw_events)
-        partials = partial_lww_reduce(flat_to_upserts(decoded, cfg), salt=cfg.skew_salt)
+        decodable = {f.name for f in DECODED_SCHEMA.fields}
+        need = [
+            c
+            for c in ["file_seq", "log_pos", "op", "schema_version", "ts"]
+            + [c for c in cfg.scope.column_names if c != "ts"]
+            if c in decodable
+        ]
+        decoded = decode_raw_events(raw_events, columns=need, scope_codes=codes)
+        partials = partial_lww_reduce(
+            flat_to_upserts(decoded, cfg, pre_scoped=True), salt=cfg.skew_salt
+        )
         res = table.merge(
-            partials, batch_id=batch_id, watermark=watermark, pre_reduced=True
+            partials,
+            batch_id=batch_id,
+            watermark=watermark,
+            pre_reduced=True,
+            touched_buckets=touched,
         )
     finally:
         if persist_source:
@@ -388,11 +458,16 @@ def mysql_decoded_to_upserts(decoded: DataFrame, cfg: EngineConfig) -> DataFrame
     Configured columns absent from the decode (a batch whose only tables
     were out of scope / undecodable has NO user columns at all) backfill
     as typed NULLs so the merge still commits — advancing the watermark
-    over a content-free batch instead of crashing on resolution."""
+    over a content-free batch instead of crashing on resolution. Present
+    payload columns keep their NATIVE decoded type (a numeric/decimal/
+    timestamp payload column must not silently become string); only the
+    backfill NULLs need an explicit type."""
     have = set(decoded.columns)
 
     def _c(name: str, cast: str):
-        return (F.col(name) if name in have else F.lit(None)).cast(cast)
+        # cast ONLY the backfill branch: F.lit(None) is untyped and needs
+        # one; a decoded column already carries its correct type
+        return F.col(name) if name in have else F.lit(None).cast(cast)
 
     is_del = F.col("op") == OP_DELETE
     payload = [
@@ -486,7 +561,18 @@ def apply_mysql_batch(
             )
             obs = Observation()
             dead = dead.observe(obs, F.count(F.lit(1)).alias("n"))
-            dead.write.mode("append").parquet(dead_letter_path)
+            # idempotent dead-letter sink: partition by batch_id and
+            # dynamically overwrite ONLY this batch's partition, so a
+            # replayed micro-batch rewrites its own rows instead of
+            # appending duplicates (the merge is checkpoint-idempotent;
+            # the dead-letter side must be too)
+            (
+                dead.withColumn("batch_id", F.lit(batch_id))
+                .write.partitionBy("batch_id")
+                .option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite")
+                .parquet(dead_letter_path)
+            )
             dead_count = obs.get["n"]
             decode_src, skip_invalid = valid, False  # already fully verified
         decoded = decode_mysql_events(

@@ -822,3 +822,151 @@ def test_json_binary_roundtrip_property(v):
     assert binary_to_json_text(b) == _json.dumps(
         v, separators=(",", ":"), ensure_ascii=False
     )
+
+
+# ------------------------------------------------- rows-event generations --
+def test_rows_v1_decode_parity():
+    """v1 rows events (codes 0x17-0x19, MySQL 5.1-5.6; reference dispatch
+    packet.cc:70-109) decode IDENTICALLY to v2 — the only layout delta is
+    the absent extra-data field (VERDICT r3 item 3)."""
+    from binlogsub_spark.mysql_binlog import (
+        DELETE_ROWS_EVENT_V1,
+        UPDATE_ROWS_EVENT_V1,
+        WRITE_ROWS_EVENT_V1,
+    )
+
+    tm = _small_tmap(31)
+    writes = [(1, 10, "alpha", 1.5), (2, None, "", -2.0)]
+    upd = [((3, 7, "old", 0.5), (3, 8, "new", 0.25))]
+    dele = [(4, 99, "bye", 3.0)]
+    pairs = [
+        (WRITE_ROWS_EVENT_V1, WRITE_ROWS_EVENT_V2, writes),
+        (UPDATE_ROWS_EVENT_V1, UPDATE_ROWS_EVENT_V2, upd),
+        (DELETE_ROWS_EVENT_V1, DELETE_ROWS_EVENT_V2, dele),
+    ]
+    for v1_code, v2_code, rows in pairs:
+        for checksum in (False, True):
+            f1 = encode_rows_event(v1_code, tm, rows, checksum=checksum)
+            f2 = encode_rows_event(v2_code, tm, rows, checksum=checksum)
+            assert len(f1) == len(f2) - 2  # exactly the extra-data field
+            d1, s1, e1 = _frames_np([f1])
+            d2, s2, e2 = _frames_np([f2])
+            dec1 = decode_rows_frames(
+                d1, s1, e1, np.array([v1_code], np.uint8), tm, checksum=checksum
+            )
+            dec2 = decode_rows_frames(
+                d2, s2, e2, np.array([v2_code], np.uint8), tm, checksum=checksum
+            )
+            assert list(dec1["op"]) == list(dec2["op"])
+            for name in ("pk", "a", "v"):
+                np.testing.assert_array_equal(dec1[name][0], dec2[name][0])
+                np.testing.assert_array_equal(dec1[name][1], dec2[name][1])
+            _, b1, l1, n1 = dec1["txt"]
+            _, b2, l2, n2 = dec2["txt"]
+            np.testing.assert_array_equal(b1, b2)
+            np.testing.assert_array_equal(l1, l2)
+
+
+def test_rows_v1_spark_end_to_end(spark):
+    """A whole stream of v1 frames (table map + v1 rows events) decodes
+    through decode_mysql_events — and a MIXED v1+v2 stream for one table
+    groups correctly."""
+    from binlogsub_spark.mysql_binlog import WRITE_ROWS_EVENT_V1
+
+    tm = _small_tmap(31)
+    frames = [
+        encode_rows_event(WRITE_ROWS_EVENT_V1, tm, [(1, 10, "v1-a", 1.0)]),
+        encode_rows_event(WRITE_ROWS_EVENT_V2, tm, [(2, 20, "v2-b", 2.0)]),
+        encode_rows_event(WRITE_ROWS_EVENT_V1, tm, [(3, 30, "v1-c", 3.0)]),
+    ]
+    df = _frames_df(spark, frames, tmaps=[tm])
+    got = {
+        r["pk"]: (r["a"], r["txt"], r["v"], r["op"])
+        for r in decode_mysql_events(df, registry={tm.table_id: tm}).collect()
+    }
+    assert got == {
+        1: (10, "v1-a", 1.0, "I"),
+        2: (20, "v2-b", 2.0, "I"),
+        3: (30, "v1-c", 3.0, "I"),
+    }
+
+
+def test_rows_v0_generation_deadletters(spark):
+    """Pre-5.1.16 rows generations (codes 20-22) are NOT silently dropped:
+    the semantic demux dead-letters them as unsupported_event."""
+    from binlogsub_spark.mysql_binlog import _finish_event, split_deadletter_mysql
+
+    tm = _small_tmap(31)
+    v0 = _finish_event(20, tm.table_id.to_bytes(6, "little") + b"\x00" * 4)
+    ok = encode_rows_event(WRITE_ROWS_EVENT_V2, tm, [(1, 10, "fine", 1.0)])
+    df = _frames_df(spark, [v0, ok], tmaps=[tm])
+    valid, dead = split_deadletter_mysql(
+        df, registry={tm.table_id: tm}, known_table_ids={tm.table_id}
+    )
+    reasons = [r["_reason"] for r in dead.collect()]
+    assert reasons == ["unsupported_event"]
+    assert valid.count() == 2  # table map + the good rows event
+
+
+# --------------------------------------------------- wide decimals (39-65) --
+def test_wide_decimal_string_fallback_spark(spark):
+    """DECIMAL(50,10) — wider than Spark's 38-digit DecimalType — decodes
+    to its EXACT canonical string instead of dead-lettering the table
+    (VERDICT r3 item 4; reference exactness bar mydecimal.cc:33-131)."""
+    big = Decimal("1234567890123456789012345678901234567890.0123456789")
+    neg = Decimal("-0.0000000001")
+    tm = TableMap(
+        table_id=61, db="test", table="widedec",
+        columns=[
+            MysqlColumn("pk", MYSQL_TYPE_LONGLONG, nullable=False),
+            MysqlColumn("wd", MYSQL_TYPE_NEWDECIMAL, meta=(50, 10)),
+        ],
+    )
+    assert tm.columns[1].spark_type().simpleString() == "string"
+    frames = [
+        encode_rows_event(WRITE_ROWS_EVENT_V2, tm, [(1, big), (2, neg), (3, None)]),
+    ]
+    df = _frames_df(spark, frames, tmaps=[tm])
+    got = {
+        r["pk"]: r["wd"]
+        for r in decode_mysql_events(df, registry={tm.table_id: tm}).collect()
+    }
+    assert got == {
+        1: "1234567890123456789012345678901234567890.0123456789",
+        2: "-0.0000000001",
+        3: None,
+    }
+
+
+try:
+    from hypothesis import given as _g, settings as _s, strategies as _st
+
+    @_s(max_examples=30, deadline=None)
+    @_g(
+        digits=_st.integers(39, 65),
+        frac=_st.integers(0, 30),
+        sign=_st.sampled_from([1, -1]),
+        seed=_st.integers(0, 2**63),
+    )
+    def test_wide_decimal_39_65_roundtrip_property(digits, frac, sign, seed):
+        """Hypothesis: 39-65-digit decimals survive packed encode -> wide
+        decode -> string formatting EXACTLY (full mydecimal range)."""
+        from binlogsub_spark.codec_mysql import decimal_to_bin
+        from binlogsub_spark.mysql_binlog import _decode_newdecimal_wide
+
+        scale = min(frac, digits - 1)
+        prec = digits
+        # deterministic digits-long scaled integer from the seed
+        rng = np.random.default_rng(seed)
+        ds = "".join(str(rng.integers(0, 10)) for _ in range(digits)).lstrip("0") or "1"
+        scaled = sign * int(ds)
+        value = Decimal(scaled).scaleb(-scale, __import__("decimal").Context(prec=70))
+        buf = decimal_to_bin(value, prec, scale)
+        data = np.frombuffer(buf, dtype=np.uint8)
+        got, size = _decode_newdecimal_wide(
+            data, np.zeros(1, dtype=np.int64), prec, scale
+        )
+        assert size == len(buf)
+        assert int(got[0]) == scaled
+except ImportError:  # pragma: no cover
+    pass
