@@ -529,34 +529,66 @@ def q_multimodal_metadata(spark, sf):
     )
 
 
-def q_multimodal_decode_features(spark, sf):
-    from binlogsub_spark.functions.multimodal import attach_media, decode_media
+def _mixed_media(spark, sf):
+    """Mixed-codec media fixture: EVEN doc_ids carry GENUINE P6 PPM images
+    (real header, w*h*3 raw pixels, deterministic per-id dimensions and
+    channel values so the oracle can predict real decode output); ODD
+    doc_ids carry raw text bytes that exercise the stub codec path. One
+    corpus drives both sides of the codec dispatch."""
+    import pandas as pd
 
-    d = _t(spark, sf, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("payload")
-    )
-    feats = decode_media(attach_media(d, "doc_id", "payload"))
+    from binlogsub_spark.functions.multimodal import attach_media, encode_ppm
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+
+    def _build(batches):
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                if did % 2 == 0:
+                    w, h = 100 + did % 200, 60 + did % 150
+                    px = np.empty((h, w, 3), np.uint8)
+                    px[..., 0] = did % 256
+                    px[..., 1] = (did * 7) % 256
+                    px[..., 2] = (did * 13) % 256
+                    payloads.append(encode_ppm(px))
+                else:
+                    payloads.append(str(text).encode("utf-8"))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    built = d.mapInPandas(_build, schema="doc_id long, payload binary")
+    return attach_media(built, "doc_id", "payload", kind="image")
+
+
+def q_multimodal_decode_features(spark, sf):
+    """Feature extraction over the MIXED corpus: even ids decode REAL PPM
+    pixels (header dims + genuine channel means), odd ids the stub. Both
+    paths fully value-checked by the oracle."""
+    from binlogsub_spark.functions.multimodal import decode_media
+
+    feats = decode_media(_mixed_media(spark, sf))
     return feats.select(
         "media_id",
         F.col("n_bytes").cast("long").alias("n_bytes"),
-        "sha256",
         F.col("width").cast("long").alias("width"),
         F.col("height").cast("long").alias("height"),
         F.round(F.element_at("feature", 1).cast("double"), 4).alias("f0"),
+        F.round(F.element_at("feature", 2).cast("double"), 4).alias("f1"),
+        F.round(F.element_at("feature", 3).cast("double"), 4).alias("f2"),
     )
 
 
 def q_multimodal_resize(spark, sf):
-    """Resize planning over the stub codec space (dimensions derive from
-    the content digest, so the whole decode -> aspect-preserving integer
-    dimension math -> envelope rewrite is DuckDB-oracled; only the pixel
-    re-encode itself is the stub boundary)."""
-    from binlogsub_spark.functions.multimodal import attach_media, resize_media
+    """Resize over the MIXED corpus: even ids run the REAL pipeline
+    (PPM header parse -> nearest-neighbor resample on real pixels -> PPM
+    re-encode, new_n_bytes = true re-encoded size); odd ids run the stub
+    path (dimension math only, new_n_bytes NULL). All oracled."""
+    from binlogsub_spark.functions.multimodal import resize_media
 
-    d = _t(spark, sf, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("payload")
-    )
-    out = resize_media(attach_media(d, "doc_id", "payload"), max_side=128)
+    out = resize_media(_mixed_media(spark, sf), max_side=128)
     return out.select(
         "media_id", "kind",
         F.col("width").cast("long").alias("width"),
@@ -564,6 +596,7 @@ def q_multimodal_resize(spark, sf):
         F.col("new_width").cast("long").alias("new_width"),
         F.col("new_height").cast("long").alias("new_height"),
         "resized",
+        F.col("new_n_bytes").cast("long").alias("new_n_bytes"),
     )
 
 
@@ -671,6 +704,56 @@ def q_cdc_mysql_row_decode(spark, sf):
     )
 
 
+def q_cdc_mysql_rows_v1(spark, sf):
+    """The same decode pipeline over the OLDER rows-event generation
+    (v1, codes 0x17-0x19 — MySQL 5.1-5.6, no extra-data field; the
+    reference dispatches both generations, packet.cc:70-109). Identical
+    values out of a different wire layout — value-checked by the SAME
+    identity oracle as the v2 query."""
+    from binlogsub_spark.mysql_binlog import (
+        decode_mysql_events,
+        encode_rows_df,
+        extract_table_maps,
+    )
+
+    tmap = _mysql_events_tmap()
+    raw = encode_rows_df(
+        _mysql_flat_events(spark, sf), tmap, rows_per_event=4, checksum=True,
+        rows_version=1,
+    )
+    registry = extract_table_maps(raw, checksum=True)
+    decoded = decode_mysql_events(
+        raw, registry, column_overrides={7: tmap.columns}, checksum=True
+    )
+    return decoded.select(
+        "op", "id", "user_id", "etype",
+        F.col("score").cast("string").alias("score"),
+        "ts", "k", "props",
+    )
+
+
+def q_dedup_incremental(spark, sf):
+    """Incremental dedup — the 100 TB training-data shape: today's batch
+    (odd doc_ids) deduped against the EXISTING corpus (even doc_ids) via a
+    persisted MinHash band-key store. The corpus is never re-shingled:
+    candidates come from an equi-join of the batch's band keys against the
+    store; only band-matched corpus docs are re-read for the exact-Jaccard
+    verify. md5 hash family -> the whole pipeline is value-checked by the
+    DuckDB oracle."""
+    from binlogsub_spark.functions.dedup import (
+        incremental_minhash_pairs,
+        minhash_band_store,
+    )
+
+    docs = _t(spark, sf, "documents")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    store = minhash_band_store(corpus, hash_fn="md5")
+    return incremental_minhash_pairs(
+        new, corpus, store, threshold=0.05, hash_fn="md5"
+    )
+
+
 _SET_MEMBERS = ("alpha", "beta", "gamma")
 
 
@@ -707,6 +790,9 @@ def _mysql_matrix_tmap():
             MysqlColumn("dt1", MYSQL_TYPE_DATETIME),
             MysqlColumn("tm", MYSQL_TYPE_TIME),
             MysqlColumn("wd", MYSQL_TYPE_NEWDECIMAL, meta=(30, 10)),
+            # wider than Spark's DecimalType(38) ceiling: decodes to the
+            # exact canonical string (full mydecimal 65-digit range)
+            MysqlColumn("wd50", MYSQL_TYPE_NEWDECIMAL, meta=(50, 10)),
             MysqlColumn("js", MYSQL_TYPE_JSON, meta=4),
         ],
     )
@@ -750,6 +836,17 @@ def q_cdc_mysql_type_matrix(spark, sf):
             "CAST(CONCAT(CAST(event_id AS STRING), '234567890.1234567891')"
             " AS DECIMAL(30,10))"
         ).alias("wd"),
+        # DECIMAL(50,10) travels as its exact string (Spark cannot hold
+        # >38 digits); the fixture encoder packs it via Decimal(str)
+        F.when(F.col("event_id") % 19 == 0, F.lit(None).cast("string")).otherwise(
+            F.concat(
+                F.when(F.col("user_id") % 3 == 0, F.lit("-")).otherwise(F.lit("")),
+                F.lit("9"),
+                F.lpad((F.col("event_id") % 100000).cast("string"), 5, "0"),
+                F.lit("2345678901234567890123456789012345"),
+                F.lit(".0987654321"),
+            )
+        ).alias("wd50"),
         # JSON column: the engine packs this TEXT into genuine MySQL
         # binary JSON and the decoder re-renders canonical compact text
         # (the reference errors out on type 245 entirely)
@@ -779,6 +876,7 @@ def q_cdc_mysql_type_matrix(spark, sf):
         "dt1",
         "tm",
         F.col("wd").cast("string").alias("wd"),
+        "wd50",
         "js",
     )
 
@@ -1054,6 +1152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_pipeline_e2e": q_cdc_pipeline_e2e,
         "cdc_mysql_pipeline_e2e": q_cdc_mysql_pipeline_e2e,
         "cdc_mysql_row_decode": q_cdc_mysql_row_decode,
+        "cdc_mysql_rows_v1": q_cdc_mysql_rows_v1,
         "cdc_mysql_type_matrix": q_cdc_mysql_type_matrix,
         "cdc_raw_decode": q_cdc_raw_decode,
         "cdc_changelog_scan": q_cdc_changelog_scan,
@@ -1061,6 +1160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_incremental": q_dedup_incremental,
         "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_recall": q_dedup_embedding_recall,
@@ -1127,6 +1227,57 @@ _MINHASH_PAIRS_SQL = f"""
             FROM inter
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
+            WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.05
+        """
+
+
+# incremental variant: odd doc_ids are "today's batch", even doc_ids the
+# pre-existing corpus (whose band keys live in the persisted store) — cand
+# pairs cross the parity boundary instead of ordering by id
+_INCR_MINHASH_SQL = f"""
+            WITH docs AS (
+              SELECT doc_id, str_split({_NORM}, ' ') AS words FROM documents
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
+              FROM docs, UNNEST(range(1, len(words) - 1)) AS t(i)
+              WHERE len(words) >= 3
+            ),
+            hh AS (
+              SELECT doc_id, shingle,
+                     ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h1,
+                     ('0x' || substr(md5(shingle || '#'), 1, 15))::BIGINT % 1000000007 AS h2
+              FROM sh
+            ),
+            mins AS (
+              SELECT doc_id, i, min((h1 + i * h2) % 2305843009213693951) AS m
+              FROM hh CROSS JOIN (SELECT unnest(range(64)) AS i) ii
+              GROUP BY doc_id, i
+            ),
+            bandkeys AS (
+              SELECT doc_id, i // 4 AS band,
+                     string_agg(m::VARCHAR, ',' ORDER BY i) AS bk
+              FROM mins GROUP BY doc_id, i // 4
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+              FROM bandkeys a JOIN bandkeys b
+                ON a.band = b.band AND a.bk = b.bk
+               AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT c.new_id, c.old_id, count(*) AS inter
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.new_id
+              JOIN sh b ON b.doc_id = c.old_id AND b.shingle = a.shingle
+              GROUP BY c.new_id, c.old_id
+            )
+            SELECT new_id, old_id,
+                   round(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = new_id
+            JOIN sizes sb ON sb.doc_id = old_id
             WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.05
         """
 
@@ -1301,6 +1452,17 @@ def oracle_sql() -> dict[str, str]:
                    props
             FROM events
         """,
+        # v1 frames must decode to the SAME values as v2 — identical oracle
+        "cdc_mysql_rows_v1": """
+            SELECT 'I' AS op, event_id AS id, user_id, event_type AS etype,
+                   CAST(CAST(round(value, 4) AS DECIMAL(18,4)) AS VARCHAR) AS score, ts,
+                   CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 = 0
+                        THEN NULL
+                        ELSE CAST(json_extract_string(props, '$.k') AS BIGINT) % 100
+                   END AS k,
+                   props
+            FROM events
+        """,
         "cdc_mysql_type_matrix": """
             SELECT event_id AS id,
                    CASE WHEN event_id % 13 = 0 THEN NULL
@@ -1320,6 +1482,12 @@ def oracle_sql() -> dict[str, str]:
                         + (event_id % 7)) * 1000000 AS tm,
                    CAST(CAST(CONCAT(CAST(event_id AS VARCHAR),
                         '234567890.1234567891') AS DECIMAL(30,10)) AS VARCHAR) AS wd,
+                   CASE WHEN event_id % 19 = 0 THEN NULL ELSE
+                     (CASE WHEN user_id % 3 = 0 THEN '-' ELSE '' END)
+                     || '9' || LPAD(CAST(event_id % 100000 AS VARCHAR), 5, '0')
+                     || '2345678901234567890123456789012345'
+                     || '.0987654321'
+                   END AS wd50,
                    CASE WHEN event_id % 17 = 0 THEN NULL ELSE
                      '{"k":' || CAST(event_id % 1000 AS VARCHAR)
                      || ',"tag":"' || event_type
@@ -1397,6 +1565,7 @@ def oracle_sql() -> dict[str, str]:
             FROM cand WHERE bit_count(xor(sa, sb)) <= 3
         """,
         "dedup_minhash_lsh": _MINHASH_PAIRS_SQL,
+        "dedup_incremental": _INCR_MINHASH_SQL,
         "dedup_clusters": f"""
             WITH RECURSIVE pairs AS (
 {_MINHASH_PAIRS_SQL}
@@ -1584,32 +1753,87 @@ def oracle_sql() -> dict[str, str]:
         # mean of digest bytes {0, 8, 16, 24} / 255.
         "multimodal_decode_features": """
             WITH d AS (
-              SELECT doc_id AS media_id,
-                     octet_length(encode(text)) AS n_bytes,
-                     sha256(text) AS sha
+              SELECT doc_id AS media_id, text, sha256(text) AS sha
               FROM documents
+            ),
+            ppm AS (  -- even ids: REAL PPM (header dims + channel means)
+              SELECT media_id,
+                     100 + media_id % 200 AS w, 60 + media_id % 150 AS h,
+                     media_id % 256 AS r, (media_id * 7) % 256 AS g,
+                     (media_id * 13) % 256 AS b
+              FROM d WHERE media_id % 2 = 0
+            ),
+            stub AS (  -- odd ids: stub codec over the text bytes
+              SELECT media_id, octet_length(encode(text)) AS n_bytes,
+                     64 + ('0x' || substr(sha, 1, 2))::BIGINT % 192 AS w,
+                     64 + ('0x' || substr(sha, 3, 2))::BIGINT % 192 AS h,
+                     round(CAST(
+                       ((('0x' || substr(sha, 1, 2))::BIGINT
+                         + ('0x' || substr(sha, 17, 2))::BIGINT
+                         + ('0x' || substr(sha, 33, 2))::BIGINT
+                         + ('0x' || substr(sha, 49, 2))::BIGINT) / 4.0) / 255.0
+                       AS FLOAT)::DOUBLE, 4) AS f0,
+                     round(CAST(
+                       ((('0x' || substr(sha, 3, 2))::BIGINT
+                         + ('0x' || substr(sha, 19, 2))::BIGINT
+                         + ('0x' || substr(sha, 35, 2))::BIGINT
+                         + ('0x' || substr(sha, 51, 2))::BIGINT) / 4.0) / 255.0
+                       AS FLOAT)::DOUBLE, 4) AS f1,
+                     round(CAST(
+                       ((('0x' || substr(sha, 5, 2))::BIGINT
+                         + ('0x' || substr(sha, 21, 2))::BIGINT
+                         + ('0x' || substr(sha, 37, 2))::BIGINT
+                         + ('0x' || substr(sha, 53, 2))::BIGINT) / 4.0) / 255.0
+                       AS FLOAT)::DOUBLE, 4) AS f2
+              FROM d WHERE media_id % 2 = 1
             )
-            SELECT media_id, n_bytes, sha AS sha256,
-                   64 + ('0x' || substr(sha, 1, 2))::BIGINT % 192 AS width,
-                   64 + ('0x' || substr(sha, 3, 2))::BIGINT % 192 AS height,
-                   round(CAST(
-                     ((('0x' || substr(sha, 1, 2))::BIGINT
-                       + ('0x' || substr(sha, 17, 2))::BIGINT
-                       + ('0x' || substr(sha, 33, 2))::BIGINT
-                       + ('0x' || substr(sha, 49, 2))::BIGINT) / 4.0) / 255.0
-                     AS FLOAT)::DOUBLE, 4) AS f0
-            FROM d
+            SELECT media_id,
+                   9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
+                     + 3 * w * h AS n_bytes,
+                   w AS width, h AS height,
+                   round(CAST((r / 255.0) AS FLOAT)::DOUBLE, 4) AS f0,
+                   round(CAST((g / 255.0) AS FLOAT)::DOUBLE, 4) AS f1,
+                   round(CAST((b / 255.0) AS FLOAT)::DOUBLE, 4) AS f2
+            FROM ppm
+            UNION ALL
+            SELECT media_id, n_bytes, w AS width, h AS height, f0, f1, f2
+            FROM stub
         """,
         "multimodal_resize": """
             WITH d AS (
               SELECT doc_id AS media_id, sha256(text) AS sha FROM documents
             ),
-            dims AS (
+            ppm AS (  -- even ids: REAL PPM decode+resample+re-encode
+              SELECT media_id,
+                     100 + media_id % 200 AS width,
+                     60 + media_id % 150 AS height
+              FROM d WHERE media_id % 2 = 0
+            ),
+            ppm2 AS (
+              SELECT media_id, width, height,
+                     CASE WHEN greatest(width, height) > 128
+                          THEN (width * 128) // greatest(width, height)
+                          ELSE width END AS new_width,
+                     CASE WHEN greatest(width, height) > 128
+                          THEN (height * 128) // greatest(width, height)
+                          ELSE height END AS new_height,
+                     greatest(width, height) > 128 AS resized
+              FROM ppm
+            ),
+            stub AS (  -- odd ids: stub codec (digest-derived dims)
               SELECT media_id,
                      64 + ('0x' || substr(sha, 1, 2))::BIGINT % 192 AS width,
                      64 + ('0x' || substr(sha, 3, 2))::BIGINT % 192 AS height
-              FROM d
+              FROM d WHERE media_id % 2 = 1
             )
+            SELECT media_id, 'image' AS kind, width, height,
+                   new_width, new_height, resized,
+                   -- true size of the re-encoded P6: header + 3*w*h
+                   9 + length(CAST(new_width AS VARCHAR))
+                     + length(CAST(new_height AS VARCHAR))
+                     + 3 * new_width * new_height AS new_n_bytes
+            FROM ppm2
+            UNION ALL
             SELECT media_id, 'image' AS kind, width, height,
                    CASE WHEN greatest(width, height) > 128
                         THEN (width * 128) // greatest(width, height)
@@ -1617,8 +1841,9 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN greatest(width, height) > 128
                         THEN (height * 128) // greatest(width, height)
                         ELSE height END AS new_height,
-                   greatest(width, height) > 128 AS resized
-            FROM dims
+                   greatest(width, height) > 128 AS resized,
+                   CAST(NULL AS BIGINT) AS new_n_bytes
+            FROM stub
         """,
         "multimodal_frame_sample": """
             WITH d AS (

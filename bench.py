@@ -77,7 +77,7 @@ def run_bench(sf_dir: str, cpus: int, ingest_events: int | None = None) -> dict:
         events = spark.read.parquet(src)
         events.count()  # warm page cache like the scaling bench
         ingest_sec, metrics = None, None
-        for rep in range(2):  # best-of-2: noisy sandbox host
+        for rep in range(3):  # best-of-3: noisy sandbox host (VERDICT r3 #9)
             table = LakeTable(
                 spark, os.path.join(tmp, f"tbl{rep}"), buckets=max(cpus, 16)
             )
@@ -104,9 +104,20 @@ def run_bench(sf_dir: str, cpus: int, ingest_events: int | None = None) -> dict:
         )
         inc = spark.read.parquet(inc_src)
         inc.count()
+        pre_inc_snapshot = table.snapshot()["snapshot_id"]
         t0 = time.time()
         apply_batch(table, inc, batch_id=2, cfg=EngineConfig())
         timings["cdc_ingest_incremental"] = round(time.time() - t0, 3)
+
+        # changelog scan (consumption side): net I/U/D feed across the
+        # incremental commit — bucket-location diff prunes the read
+        chg_sec = None
+        for _ in range(2):
+            t0 = time.time()
+            table.changes(pre_inc_snapshot).count()
+            dt = time.time() - t0
+            chg_sec = dt if chg_sec is None else min(chg_sec, dt)
+        timings["cdc_changelog_scan"] = round(chg_sec, 3)
 
         # raw wire path: binary payload -> Arrow decode -> LWW -> MERGE
         from binlogsub_spark.pipeline import apply_raw_batch
@@ -126,7 +137,7 @@ def run_bench(sf_dir: str, cpus: int, ingest_events: int | None = None) -> dict:
         raw = spark.read.parquet(raw_src)
         raw.count()
         raw_sec = None
-        for rep in range(2):  # best-of-2, fresh table each (same as structured)
+        for rep in range(3):  # best-of-3, fresh table each (same as structured)
             raw_table = LakeTable(
                 spark, os.path.join(tmp, f"rawtbl{rep}"), buckets=max(cpus, 16)
             )
@@ -227,6 +238,7 @@ def run_bench(sf_dir: str, cpus: int, ingest_events: int | None = None) -> dict:
         "cdc_applied_skipped_metrics",
         "dedup_exact",
         "dedup_minhash_lsh",
+        "dedup_incremental",
         "dedup_simhash",
         "similarity_ann_arrow_topk",
         "text_quality_score",

@@ -206,6 +206,148 @@ def minhash_signatures(
     )
 
 
+def _band_key_expr(bands: int, rows_per_band: int, hash_fn: str):
+    """Per-band key expressions over a ``sig`` array column. md5 mode joins
+    the band's mins as a string (oracle-portable); xxhash64 mode hashes
+    them (compact)."""
+    if hash_fn == "md5":
+        def _bk(b):
+            return F.concat_ws(
+                ",",
+                *[
+                    F.col("sig")[b * rows_per_band + r].cast("string")
+                    for r in range(rows_per_band)
+                ],
+            )
+    else:
+        def _bk(b):
+            return F.xxhash64(
+                *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+            ).cast("string")
+    return [
+        F.struct(F.lit(b).alias("band"), _bk(b).alias("bh")) for b in range(bands)
+    ]
+
+
+def minhash_band_store(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(id, band, bh) — the PERSISTABLE signature store of a corpus: one
+    row per (doc, band). At 100 TB this is the table you write ONCE
+    (bucketed by (band, bh)) and join every day's new batch against —
+    incremental dedup never re-shingles the corpus, only the batch
+    (see ``incremental_minhash_pairs``)."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, n, hash_fn=hash_fn)
+    return sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*_band_key_expr(bands, rows_per_band, hash_fn))
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bh")
+
+
+def incremental_minhash_pairs(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    store: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    threshold: float = 0.5,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING corpus via its persisted
+    band-key ``store`` (``minhash_band_store`` output) — the shape
+    training-data dedup takes at 100 TB: today's batch vs everything
+    ingested before, without touching the corpus again.
+
+    Work profile: the new batch is shingled + hashed in full; the corpus
+    contributes only (a) the precomputed store rows (equi-join on
+    (band, bh) — no re-shingling, no cross join) and (b) the TEXT of the
+    candidate docs that band-matched, re-shingled for the exact-Jaccard
+    verification (a semi-join-pruned read: candidates are a vanishing
+    fraction of the corpus). Returns (new_id, old_id, jaccard >= threshold).
+    """
+    rows_per_band = num_hashes // bands
+    new_sh = shingle_df(new_df, text_col, id_col, n).persist()
+    try:
+        new_sh.count()  # materialize before multi-reference jobs
+        new_sig = minhash_signatures(
+            None, text_col, id_col, num_hashes, n, hash_fn=hash_fn, shingles=new_sh
+        )
+        new_band = new_sig.select(
+            F.col(id_col),
+            F.explode(
+                F.array(*_band_key_expr(bands, rows_per_band, hash_fn))
+            ).alias("bb"),
+        ).select(id_col, "bb.band", "bb.bh")
+        cand = (
+            new_band.alias("n")
+            .join(
+                store.alias("o"),
+                (F.col("n.band") == F.col("o.band"))
+                & (F.col("n.bh") == F.col("o.bh"))
+                & (F.col(f"n.{id_col}") != F.col(f"o.{id_col}")),
+            )
+            .select(
+                F.col(f"n.{id_col}").alias("new_id"),
+                F.col(f"o.{id_col}").alias("old_id"),
+            )
+            .distinct()
+        )
+        # corpus text read ONLY for band-matched candidates
+        old_ids = cand.select(F.col("old_id").alias(id_col)).distinct()
+        old_sh = shingle_df(
+            corpus_df.join(old_ids, id_col, "left_semi"), text_col, id_col, n
+        ).persist()
+        try:
+            old_sh.count()
+            new_sizes = new_sh.groupBy(id_col).agg(F.count("*").alias("sz_new"))
+            old_sizes = old_sh.groupBy(id_col).agg(F.count("*").alias("sz_old"))
+            inter = (
+                cand.join(
+                    new_sh.withColumnsRenamed({id_col: "new_id", "shingle": "s"}),
+                    "new_id",
+                )
+                .join(
+                    old_sh.withColumnsRenamed({id_col: "old_id", "shingle": "s"}),
+                    ["old_id", "s"],
+                )
+                .groupBy("new_id", "old_id")
+                .agg(F.count("*").alias("inter"))
+            )
+            out = (
+                inter.join(
+                    new_sizes.withColumnsRenamed({id_col: "new_id"}), "new_id"
+                )
+                .join(old_sizes.withColumnsRenamed({id_col: "old_id"}), "old_id")
+                .withColumn(
+                    "jaccard",
+                    F.round(
+                        F.col("inter")
+                        / (F.col("sz_new") + F.col("sz_old") - F.col("inter")),
+                        4,
+                    ),
+                )
+                .where(F.col("jaccard") >= threshold)
+                .select("new_id", "old_id", "jaccard")
+            )
+            return out.localCheckpoint(eager=True)
+        finally:
+            old_sh.unpersist(blocking=False)
+    finally:
+        new_sh.unpersist(blocking=False)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -231,28 +373,10 @@ def minhash_lsh_pairs(
         sig = minhash_signatures(
             None, text_col, id_col, num_hashes, n, hash_fn=hash_fn, shingles=sh
         )
-        if hash_fn == "md5":
-            # oracle-portable band key: the band's mins joined as a string
-            def _bk(b):
-                return F.concat_ws(
-                    ",",
-                    *[
-                        F.col("sig")[b * rows_per_band + r].cast("string")
-                        for r in range(rows_per_band)
-                    ],
-                )
-        else:
-            def _bk(b):
-                return F.xxhash64(
-                    *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
-                ).cast("string")
         band = sig.select(
             F.col(id_col),
             F.explode(
-                F.array(*[
-                    F.struct(F.lit(b).alias("band"), _bk(b).alias("bh"))
-                    for b in range(bands)
-                ])
+                F.array(*_band_key_expr(bands, rows_per_band, hash_fn))
             ).alias("bb"),
         ).select(id_col, "bb.band", "bb.bh")
         a, b = band.alias("a"), band.alias("b")

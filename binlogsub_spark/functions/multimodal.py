@@ -1,10 +1,16 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-Real image/audio/video codecs are not available in this container, so the
-DECODE KERNELS ARE STUBS (clearly marked below); everything Spark-side —
-schema, Arrow batch shape, mapInPandas signatures, partitioning — is real
-and tested. Swapping ``_decode_image_stub`` for a PIL/ffmpeg call is a
-one-function change; the distributed plumbing does not move.
+The codec boundary dispatches on content magic:
+
+* **PPM (P6) images decode FOR REAL** — a pure-numpy decoder/encoder/
+  resizer below (no external codec libs needed): genuine header parse,
+  genuine pixel statistics, genuine nearest-neighbor resample, genuine
+  re-encode. One end-to-end image path runs on real pixels.
+* Everything else (JPEG/PNG/audio/video — libs absent in this container)
+  hits ``_decode_image_stub``, clearly marked; everything Spark-side —
+  schema, Arrow batch shape, mapInPandas signatures, partitioning — is
+  real and tested either way. Swapping the stub for a PIL/ffmpeg call is
+  a one-function change; the distributed plumbing does not move.
 """
 
 from __future__ import annotations
@@ -59,6 +65,86 @@ def attach_media(df: DataFrame, id_col: str, payload_col: str, kind: str = "imag
     )
 
 
+# ------------------------------------------------------- REAL PPM codec --
+PPM_MAGIC = b"P6"
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> binary PPM (P6). Pure numpy/bytes."""
+    h, w, c = pixels.shape
+    if c != 3 or pixels.dtype != np.uint8:
+        raise ValueError("encode_ppm expects (h, w, 3) uint8")
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.tobytes()
+
+
+def decode_ppm(content: bytes) -> tuple[int, int, np.ndarray]:
+    """Binary PPM (P6) -> (width, height, (h, w, 3) uint8 view). Real
+    header parse per the Netpbm spec: magic, whitespace/comment-separated
+    width, height, maxval, single whitespace, then raw RGB triplets."""
+    if content[:2] != PPM_MAGIC:
+        raise ValueError("not a P6 PPM (bad magic)")
+    pos, fields = 2, []
+    n = len(content)
+    while len(fields) < 3:
+        while pos < n and content[pos : pos + 1].isspace():
+            pos += 1
+        if pos < n and content[pos : pos + 1] == b"#":  # comment to EOL
+            while pos < n and content[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < n and not content[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        fields.append(int(content[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"only maxval=255 PPM supported, got {maxval}")
+    need = w * h * 3
+    if n - pos < need:
+        raise ValueError(f"PPM pixel data short: {n - pos} < {need}")
+    arr = np.frombuffer(content, dtype=np.uint8, count=need, offset=pos)
+    return w, h, arr.reshape(h, w, 3)
+
+
+def resize_nearest(pixels: np.ndarray, new_w: int, new_h: int) -> np.ndarray:
+    """Nearest-neighbor resample, pure numpy (two index gathers)."""
+    h, w, _ = pixels.shape
+    ys = (np.arange(new_h, dtype=np.int64) * h) // new_h
+    xs = (np.arange(new_w, dtype=np.int64) * w) // new_w
+    return pixels[ys][:, xs]
+
+
+def _decode_ppm_features(content: bytes) -> tuple[int, int, np.ndarray]:
+    """REAL decode: dimensions from the header, 8-dim feature from genuine
+    pixel statistics (channel means, min, max, normalized dims)."""
+    w, h, arr = decode_ppm(content)
+    flat = arr.reshape(-1, 3)
+    means = flat.mean(axis=0) / 255.0
+    feat = np.array(
+        [
+            means[0], means[1], means[2],
+            arr.min() / 255.0, arr.max() / 255.0,
+            w / 4096.0, h / 4096.0, 0.0,
+        ],
+        dtype=np.float32,
+    )
+    return w, h, feat
+
+
+def _decode_image(content: bytes) -> tuple[int, int, np.ndarray]:
+    """Codec dispatch: P6 PPM decodes for real; other formats hit the
+    stub (no codec libs in this container)."""
+    if content[:2] == PPM_MAGIC:
+        try:
+            return _decode_ppm_features(content)
+        except ValueError:
+            pass  # P6-prefixed but not a valid PPM: treat as opaque
+    return _decode_image_stub(content)
+
+
 def _decode_image_stub(content: bytes) -> tuple[int, int, np.ndarray]:
     """STUB — deterministic fake decode. A real deployment decodes with
     PIL/libjpeg here. Derives (width, height, 8-dim feature) from the
@@ -81,7 +167,7 @@ def decode_media(media_df: DataFrame) -> DataFrame:
             for mid, kind, content, meta in zip(
                 pdf["media_id"], pdf["kind"], pdf["content"], pdf["meta"]
             ):
-                w, h, feat = _decode_image_stub(bytes(content))
+                w, h, feat = _decode_image(bytes(content))
                 rows.append(
                     {
                         "media_id": mid,
@@ -99,16 +185,17 @@ def decode_media(media_df: DataFrame) -> DataFrame:
 
 
 def resize_media(media_df: DataFrame, max_side: int = 256) -> DataFrame:
-    """Resize planning + metadata rewrite over the (stub) codec space: the
-    decode gives each image its dimensions; images whose longest side
-    exceeds ``max_side`` get integer-exact scaled target dimensions
-    (floor((dim * max_side) / longest)) and a resized flag. The pixel
-    re-encode itself is the stub boundary (no codec libs in this
-    container — content passes through opaque); every OTHER stage of a
-    real resize pipeline — decode, dimension math, envelope rewrite,
-    Arrow batch shape — runs for real and is value-checked by the DuckDB
-    oracle (the dimensions derive deterministically from the content
-    digest)."""
+    """Resize: the decode gives each image its dimensions; images whose
+    longest side exceeds ``max_side`` get integer-exact scaled target
+    dimensions (floor((dim * max_side) / longest)) and a resized flag.
+
+    For P6 PPM content the pipeline runs ON REAL PIXELS end to end:
+    header parse -> nearest-neighbor resample -> PPM re-encode, with
+    ``new_n_bytes`` reporting the re-encoded size. For other formats the
+    pixel re-encode is the stub boundary (no codec libs in this container
+    — content passes through opaque, new_n_bytes is NULL); decode,
+    dimension math, envelope rewrite and Arrow batch shape still run for
+    real and are value-checked by the DuckDB oracle."""
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -116,7 +203,12 @@ def resize_media(media_df: DataFrame, max_side: int = 256) -> DataFrame:
             for mid, kind, content in zip(
                 pdf["media_id"], pdf["kind"], pdf["content"]
             ):
-                w, h, _ = _decode_image_stub(bytes(content))
+                content = bytes(content)
+                is_ppm = content[:2] == PPM_MAGIC
+                if is_ppm:
+                    w, h, arr = decode_ppm(content)
+                else:
+                    w, h, _ = _decode_image_stub(content)
                 longest = max(w, h)
                 if longest > max_side:
                     nw = (w * max_side) // longest
@@ -124,6 +216,12 @@ def resize_media(media_df: DataFrame, max_side: int = 256) -> DataFrame:
                     resized = True
                 else:
                     nw, nh, resized = w, h, False
+                new_n_bytes = None
+                if is_ppm:
+                    out_arr = (
+                        resize_nearest(arr, nw, nh) if resized else arr
+                    )
+                    new_n_bytes = len(encode_ppm(np.ascontiguousarray(out_arr)))
                 rows.append(
                     {
                         "media_id": mid,
@@ -133,13 +231,14 @@ def resize_media(media_df: DataFrame, max_side: int = 256) -> DataFrame:
                         "new_width": nw,
                         "new_height": nh,
                         "resized": resized,
+                        "new_n_bytes": new_n_bytes,
                     }
                 )
             yield pd.DataFrame(
                 rows,
                 columns=[
                     "media_id", "kind", "width", "height",
-                    "new_width", "new_height", "resized",
+                    "new_width", "new_height", "resized", "new_n_bytes",
                 ],
             )
 
@@ -152,6 +251,7 @@ def resize_media(media_df: DataFrame, max_side: int = 256) -> DataFrame:
             T.StructField("new_width", T.IntegerType()),
             T.StructField("new_height", T.IntegerType()),
             T.StructField("resized", T.BooleanType()),
+            T.StructField("new_n_bytes", T.IntegerType()),
         ]
     )
     return media_df.mapInPandas(_resize, schema=schema)

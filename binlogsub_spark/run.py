@@ -29,9 +29,9 @@ from binlogsub_spark.sources.generator import GeneratorParams, write_binlog
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--source", required=True)
+    ap.add_argument("--source", default=None, help="required unless --changes")
     ap.add_argument("--table", required=True)
-    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--checkpoint", default=None, help="required unless --changes")
     ap.add_argument("--generate", type=int, default=0)
     ap.add_argument("--buckets", type=int, default=32)
     ap.add_argument("--max-files-per-trigger", type=int, default=4)
@@ -58,9 +58,27 @@ def main(argv: list[str] | None = None) -> int:
         "--dead-letter", default=None,
         help="mysql mode: parquet path for reason-coded undecodable frames",
     )
+    ap.add_argument(
+        "--changes", default=None, metavar="FROM[,TO]",
+        help="consumption mode: instead of ingesting, emit the net I/U/D "
+        "change feed of --table between two committed snapshots "
+        "(LakeTable.changes; FROM may be the literal 'none' for "
+        "'since the empty table', TO defaults to current). Prints a JSON "
+        "summary; --changes-out writes the full feed as parquet.",
+    )
+    ap.add_argument(
+        "--changes-out", default=None,
+        help="with --changes: parquet output path for the change feed",
+    )
     args = ap.parse_args(argv)
 
     spark = get_spark(app_name="binlogsub-ingest", master=args.master)
+    if args.changes is not None:
+        print(json.dumps(_run_changes(spark, args), default=str))
+        spark.stop()
+        return 0
+    if not args.source or not args.checkpoint:
+        ap.error("--source and --checkpoint are required unless --changes")
     if args.generate:
         params = GeneratorParams(n_events=args.generate)
         if args.mysql:
@@ -118,6 +136,46 @@ def main(argv: list[str] | None = None) -> int:
     print(json.dumps(out, default=str))
     spark.stop()
     return 0
+
+
+def _run_changes(spark, args) -> dict:
+    """Consumption-side CLI: the net I/U/D feed between two snapshots
+    (changelog scan) — making CDC's read side a first-class surface like
+    ingest. Bucket-location diffing prunes the scan to changed buckets
+    before a byte is read (lake/table.py changes()). Returns the summary
+    dict (main prints it and owns the session lifecycle)."""
+    from pyspark.sql import functions as F
+
+    table = LakeTable(spark, args.table, buckets=args.buckets)
+    snap = table.snapshot()
+    if snap and snap.get("buckets"):
+        # the committed manifest knows the table's true bucket count —
+        # never trust the CLI default for an existing table
+        table = LakeTable(spark, args.table, buckets=int(snap["buckets"]))
+    parts = args.changes.split(",")
+    from_id = None if parts[0].strip().lower() in ("none", "") else int(parts[0])
+    to_id = int(parts[1]) if len(parts) > 1 and parts[1].strip() else None
+    feed = table.changes(from_id, to_id)
+    if args.changes_out:
+        feed.write.mode("overwrite").parquet(args.changes_out)
+        feed = spark.read.parquet(args.changes_out)  # count the written feed
+    counts = {
+        r["change_op"]: r["n"]
+        for r in feed.groupBy("change_op").agg(F.count("*").alias("n")).collect()
+    }
+    out = {
+        "table": args.table,
+        "from_snapshot": from_id,
+        "to_snapshot": to_id
+        if to_id is not None
+        else (table.snapshot() or {}).get("snapshot_id"),
+        "inserts": counts.get("I", 0),
+        "updates": counts.get("U", 0),
+        "deletes": counts.get("D", 0),
+        "rows": sum(counts.values()),
+        "written": args.changes_out,
+    }
+    return out
 
 
 if __name__ == "__main__":

@@ -324,3 +324,41 @@ def test_changelog_scan_prunes_buckets(spark, tmp_path):
     assert len(changed) == 1  # COW relocated exactly the touched bucket
     ch = table.changes(s1, s2).collect()
     assert {r["conv_id"] for r in ch} <= {"conv_7"}
+
+
+def test_changes_cli_surface(spark, tmp_path):
+    """--changes FROM[,TO]: the changelog scan is reachable from the CLI
+    (consumption side of CDC as a first-class surface, VERDICT r3 item 6)."""
+    import argparse
+
+    from binlogsub_spark.config import EngineConfig
+    from binlogsub_spark.lake.table import LakeTable
+    from binlogsub_spark.pipeline import apply_batch
+    from binlogsub_spark.run import _run_changes
+    from binlogsub_spark.sources.generator import GeneratorParams, generate_binlog
+
+    ev = generate_binlog(spark, GeneratorParams(n_events=1500, n_convs=40, dup_tail=0))
+    table = LakeTable(spark, str(tmp_path / "t"), buckets=8)
+    apply_batch(table, ev.where("delivery_seq < 700"), batch_id=1,
+                cfg=EngineConfig(), persist_source=True)
+    s1 = table.snapshot()["snapshot_id"]
+    apply_batch(table, ev.where("delivery_seq >= 700"), batch_id=2,
+                cfg=EngineConfig(), persist_source=True)
+
+    out_dir = str(tmp_path / "feed")
+    args = argparse.Namespace(
+        table=str(tmp_path / "t"), buckets=32,  # wrong on purpose: manifest wins
+        changes=f"{s1}", changes_out=out_dir,
+    )
+    out = _run_changes(spark, args)
+    assert out["rows"] == out["inserts"] + out["updates"] + out["deletes"]
+    assert out["rows"] > 0
+    assert spark.read.parquet(out_dir).count() == out["rows"]
+    # and the feed agrees with the library-level changelog scan
+    assert table.changes(s1).count() == out["rows"]
+
+    full = _run_changes(spark, argparse.Namespace(
+        table=str(tmp_path / "t"), buckets=32, changes="none", changes_out=None,
+    ))
+    assert full["deletes"] == 0 and full["updates"] == 0
+    assert full["inserts"] == table.read().count()

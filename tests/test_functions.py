@@ -254,3 +254,62 @@ def test_embedding_near_dup_multi_table_recall(spark):
     recall = len(planted) / n
     assert recall >= 0.95, f"recall {recall} of {n} planted near-dups"
     assert all(r["cosine"] >= 0.99 for r in got)
+
+
+# ---------------------------------------------------------- real PPM codec
+def test_ppm_roundtrip_and_header_variants():
+    import numpy as np
+
+    from binlogsub_spark.functions.multimodal import decode_ppm, encode_ppm
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(13, 29, 3), dtype=np.uint8)
+    w, h, back = decode_ppm(encode_ppm(px))
+    assert (w, h) == (29, 13)
+    np.testing.assert_array_equal(back, px)
+    # spec variants: comments and extra whitespace in the header
+    body = px.tobytes()
+    variant = b"P6\n# a comment\n 29\t13 \n255\n" + body
+    w2, h2, back2 = decode_ppm(variant)
+    assert (w2, h2) == (29, 13)
+    np.testing.assert_array_equal(back2, px)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_ppm(b"P5\n1 1\n255\n\x00")  # wrong magic
+    with _pytest.raises(ValueError):
+        decode_ppm(b"P6\n4 4\n255\n\x00\x01")  # short pixel data
+
+
+def test_ppm_resize_nearest_matches_reference():
+    import numpy as np
+
+    from binlogsub_spark.functions.multimodal import resize_nearest
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(64, 100, 3), dtype=np.uint8)
+    out = resize_nearest(px, 31, 17)
+    assert out.shape == (17, 31, 3)
+    # independent reference: per-pixel floor index math
+    for y in range(17):
+        for x in range(0, 31, 7):
+            np.testing.assert_array_equal(out[y, x], px[(y * 64) // 17, (x * 100) // 31])
+
+
+def test_codec_dispatch_real_vs_stub():
+    import numpy as np
+
+    from binlogsub_spark.functions.multimodal import _decode_image
+
+    px = np.full((10, 20, 3), 77, dtype=np.uint8)
+    from binlogsub_spark.functions.multimodal import encode_ppm
+
+    w, h, feat = _decode_image(encode_ppm(px))
+    assert (w, h) == (20, 10)
+    assert abs(feat[0] - 77 / 255.0) < 1e-6  # REAL channel mean
+    # non-PPM bytes fall back to the stub (digest-derived dims)
+    w2, h2, _ = _decode_image(b"not an image at all")
+    assert 64 <= w2 < 256 and 64 <= h2 < 256
+    # P6-prefixed garbage must not crash the kernel
+    w3, h3, _ = _decode_image(b"P6 garbage that is not a header")
+    assert w3 >= 64 and h3 >= 64
