@@ -366,3 +366,14 @@ def test_dead_letter_sink_and_metrics(spark, tmp_path):
     assert dead.select("file_seq", "log_pos", "payload").columns == [
         "file_seq", "log_pos", "payload"
     ]
+
+    # REPLAY idempotence (ADVICE r3): a re-fired micro-batch must rewrite
+    # its own batch_id partition, not append duplicate dead-letter rows
+    m2 = apply_mysql_batch(
+        table, corrupted, batch_id=1, cfg=EngineConfig(), name_map=_name_map(),
+        dead_letter_path=dl,
+    )
+    assert m2["replayed"] is True
+    dead2 = spark.read.parquet(dl)
+    assert dead2.count() == n_bad  # unchanged, not doubled
+    assert set(dead2.select("batch_id").distinct().toPandas()["batch_id"]) == {1}
