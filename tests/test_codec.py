@@ -151,3 +151,98 @@ def test_lake_read_without_snapshot_raises_clearly(spark, tmp_path):
         t.read()
     with pytest.raises(ValueError, match="no committed snapshot"):
         t.read_internal()
+
+
+def test_decode_column_pruning_matches_full_decode(spark):
+    """decode_raw_events(columns=...) must return exactly the full decode
+    projected to those columns — pruning changes cost, never values."""
+    from binlogsub_spark.codec import decode_raw_events
+    from binlogsub_spark.codec import encode_decoded_events
+    from binlogsub_spark.sources.generator import (
+        GeneratorParams,
+        flatten_for_wire,
+        generate_binlog,
+    )
+
+    raw = encode_decoded_events(
+        flatten_for_wire(generate_binlog(spark, GeneratorParams(n_events=2000, dup_tail=50)))
+    ).localCheckpoint(eager=True)
+    full = decode_raw_events(raw)
+    cols = ["file_seq", "log_pos", "op", "conv_id", "turn_idx", "text", "ts"]
+    pruned = decode_raw_events(raw, columns=cols)
+    assert pruned.columns == [c for c in full.columns if c in cols]
+    a = full.select(*pruned.columns).orderBy("file_seq", "log_pos", "op").collect()
+    b = pruned.orderBy("file_seq", "log_pos", "op").collect()
+    assert a == b
+
+
+def test_in_kernel_scope_filter_matches_rlike(spark):
+    """scope_codes= drops out-of-scope frames on the scope byte inside the
+    kernel — identical result to decoding everything then rlike-filtering."""
+    from pyspark.sql import functions as F
+
+    from binlogsub_spark.codec import (
+        decode_raw_events,
+        encode_decoded_events,
+        scope_codes_for,
+    )
+    from binlogsub_spark.sources.generator import (
+        GeneratorParams,
+        flatten_for_wire,
+        generate_binlog,
+    )
+
+    raw = encode_decoded_events(
+        flatten_for_wire(generate_binlog(spark, GeneratorParams(n_events=3000, dup_tail=0)))
+    ).localCheckpoint(eager=True)
+    codes = scope_codes_for("^test$", "^transcripts$")
+    in_kernel = decode_raw_events(raw, scope_codes=codes)
+    post_hoc = decode_raw_events(raw).where(
+        F.col("db_name").rlike("^test$") & F.col("table_name").rlike("^transcripts$")
+    )
+    assert in_kernel.count() == post_hoc.count() > 0
+    a = in_kernel.orderBy("file_seq", "log_pos", "op").collect()
+    b = post_hoc.orderBy("file_seq", "log_pos", "op").collect()
+    assert a == b
+
+
+def test_raw_frame_stats_alignment(spark):
+    """raw_frame_stats_df: one row per input frame (valid or not), conv_id
+    null exactly for invalid/out-of-scope frames, header columns passed
+    through untouched."""
+    from pyspark.sql import functions as F
+
+    from binlogsub_spark.codec import (
+        encode_decoded_events,
+        raw_frame_stats_df,
+        scope_codes_for,
+    )
+    from binlogsub_spark.sources.generator import (
+        GeneratorParams,
+        flatten_for_wire,
+        generate_binlog,
+    )
+
+    raw = encode_decoded_events(
+        flatten_for_wire(generate_binlog(spark, GeneratorParams(n_events=2000, dup_tail=0)))
+    ).localCheckpoint(eager=True)
+    # corrupt a deterministic subset
+    # log_pos = 4 + k*128, so corrupt on the step index
+    bad = (F.col("log_pos") - 4) / 128 % 37 == 5
+    corrupted = raw.withColumn(
+        "payload",
+        F.when(bad, F.expr("substring(payload, 1, 5)"))
+        .otherwise(F.col("payload")),
+    )
+    stats = raw_frame_stats_df(
+        corrupted, scope_codes=scope_codes_for("^test$", "^transcripts$")
+    )
+    assert stats.count() == corrupted.count()  # every frame accounted for
+    n_bad = corrupted.where(bad).count()
+    n_null = stats.where(F.col("conv_id").isNull()).count()
+    assert n_null >= n_bad > 0  # invalid + out-of-scope frames are null
+    # header columns intact
+    assert (
+        stats.select(F.sum("log_pos")).first()[0]
+        == corrupted.select(F.sum("log_pos")).first()[0]
+    )
