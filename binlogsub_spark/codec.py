@@ -272,16 +272,23 @@ _TOOL_LUT = [f"tool_{i}" for i in range(255)] + [None]  # 0xff -> NULL sentinel
 def _fixed_to_string_arrow(fixed: np.ndarray, valid: np.ndarray | None = None):
     """NUL-padded fixed-width byte column -> Arrow string array with NO
     per-row Python strings (np.char.decode materializes a str object per
-    row — measured as the top cost of the header decode): lengths from the
-    first NUL byte (vectorized argmax), then one repeat/cumsum gather into
-    a contiguous UTF-8 buffer. ``valid=False`` rows become nulls."""
+    row — measured as the top cost of the header decode): lengths strip
+    TRAILING NUL padding only (vectorized reversed argmax — np.char.rstrip
+    parity), then one repeat/cumsum gather into a contiguous UTF-8 buffer.
+    ``valid=False`` rows become nulls."""
     import pyarrow as pa
 
     n = len(fixed)
     w = fixed.dtype.itemsize
     m = np.ascontiguousarray(fixed).view(np.uint8).reshape(n, w)
-    is_nul = m == 0
-    lens = np.where(is_nul.any(axis=1), is_nul.argmax(axis=1), w).astype(np.int64)
+    # rstrip-TRAILING-NULs semantics (matches the wire spec's NUL padding
+    # and the round-3 np.char.rstrip behavior): an embedded NUL inside the
+    # value is preserved, only the padding is stripped — truncating at the
+    # FIRST NUL would silently collapse distinct keys like 'ab\0cd'/'ab\0ce'
+    nonzero = m[:, ::-1] != 0
+    lens = np.where(
+        nonzero.any(axis=1), w - nonzero.argmax(axis=1), 0
+    ).astype(np.int64)
     if valid is not None:
         lens = np.where(valid, lens, 0)
     off = np.zeros(n + 1, dtype=np.int64)
@@ -432,6 +439,21 @@ def decode_payload_batch(payloads: pd.Series) -> pd.DataFrame:
 _SCOPE_OFFSET = 22  # scope byte position (common prefix)
 
 
+def _scope_mask(
+    starts: np.ndarray, ends: np.ndarray, data: np.ndarray, scope_codes: frozenset
+) -> np.ndarray:
+    """Boolean mask of frames whose scope byte is in ``scope_codes``
+    (frames too short to carry one are out). The ONE implementation both
+    the decode kernel and the stats kernel use — they must agree, because
+    the stats pass derives the touched-bucket superset for the exact frame
+    set the decode pass keeps."""
+    n = len(starts)
+    long_enough = (ends - starts) > _SCOPE_OFFSET
+    sc = np.zeros(n, dtype=np.uint8)
+    sc[long_enough] = data[starts[long_enough] + _SCOPE_OFFSET]
+    return long_enough & np.isin(sc, list(scope_codes))
+
+
 def scope_codes_for(db_regex: str, table_regex: str) -> frozenset:
     """Which wire scope codes satisfy the configured (db, table) regexes —
     the raw-path analog of ``scope_registry`` (P2 pushdown): the filter
@@ -481,11 +503,7 @@ def decode_raw_events(
                 keep = validate_reasons(starts, ends, data) == REASON_OK
                 starts, ends = starts[keep], ends[keep]
             if scope_codes is not None and len(starts):
-                lens = ends - starts
-                long_enough = lens > _SCOPE_OFFSET
-                sc = np.zeros(len(starts), dtype=np.uint8)
-                sc[long_enough] = data[starts[long_enough] + _SCOPE_OFFSET]
-                in_scope = long_enough & np.isin(sc, list(scope_codes))
+                in_scope = _scope_mask(starts, ends, data, scope_codes)
                 starts, ends = starts[in_scope], ends[in_scope]
             for cols in _decode_frames_arrow(data, starts, ends, want):
                 yield pa.RecordBatch.from_pydict(cols)
@@ -522,10 +540,7 @@ def raw_frame_stats_df(
             n = len(starts)
             valid = validate_reasons(starts, ends, data, structural_only=True) == REASON_OK
             if scope_codes is not None and n:
-                long_enough = (ends - starts) > _SCOPE_OFFSET
-                sc = np.zeros(n, dtype=np.uint8)
-                sc[long_enough] = data[starts[long_enough] + _SCOPE_OFFSET]
-                valid &= long_enough & np.isin(sc, list(scope_codes))
+                valid &= _scope_mask(starts, ends, data, scope_codes)
             conv_mat = np.zeros(n, dtype="S24")
             ok = np.flatnonzero(valid)
             if ok.size:

@@ -204,11 +204,15 @@ def resize_media(media_df: DataFrame, max_side: int = 256) -> DataFrame:
                 pdf["media_id"], pdf["kind"], pdf["content"]
             ):
                 content = bytes(content)
-                is_ppm = content[:2] == PPM_MAGIC
-                if is_ppm:
-                    w, h, arr = decode_ppm(content)
-                else:
+                arr = None
+                if content[:2] == PPM_MAGIC:
+                    try:
+                        w, h, arr = decode_ppm(content)
+                    except ValueError:
+                        pass  # P6-prefixed but not a valid PPM: stub below
+                if arr is None:
                     w, h, _ = _decode_image_stub(content)
+                is_ppm = arr is not None
                 longest = max(w, h)
                 if longest > max_side:
                     nw = (w * max_side) // longest

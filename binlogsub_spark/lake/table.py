@@ -49,9 +49,15 @@ from binlogsub_spark.operators.dedup import (
 from binlogsub_spark.plans.envelope import MERGE_KEY, VERSION_COLUMNS
 
 
-def bucket_expr(col: str, buckets: int):
-    """Deterministic key->bucket clustering (xxhash64, stable across runs)."""
-    return F.pmod(F.xxhash64(F.col(col)), F.lit(buckets)).cast("int")
+def bucket_expr(col, buckets: int):
+    """Deterministic key->bucket clustering (xxhash64, stable across runs).
+    ``col``: column name or Column. This is THE one definition of the
+    bucket hash — callers that precompute ``touched_buckets`` supersets
+    (apply_batch/apply_raw_batch) MUST use it too, or their superset
+    invariant silently breaks and merge strands rows in unregistered
+    bucket partitions."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.pmod(F.xxhash64(c), F.lit(buckets)).cast("int")
 
 
 class LakeTable:
@@ -234,6 +240,11 @@ class LakeTable:
         means "from the empty table" (everything live is an I)."""
         to_snap = self.snapshot(to_snapshot_id)
         if to_snap is None:
+            if to_snapshot_id is not None:
+                raise ValueError(
+                    f"snapshot {to_snapshot_id} does not exist (never "
+                    f"committed, or expired by vacuum()) for table {self.path}"
+                )
             raise ValueError(f"table {self.path} has no committed snapshot")
         to_id = to_snap["snapshot_id"]
         from_snap = (
@@ -251,6 +262,25 @@ class LakeTable:
             for b in set(locs_to) | set(locs_from)
             if locs_to.get(b) != locs_from.get(b)
         )
+        # a manifest can outlive its data files (vacuum keeps the last N
+        # manifests but prunes commit dirs unreachable from them) — fail
+        # with a clear driver-side error instead of a mid-job read failure
+        need_commits = {
+            loc
+            for locs in (locs_to, locs_from)
+            for b, loc in locs.items()
+            if loc is not None and int(b) in set(changed)
+        }
+        missing = sorted(
+            c for c in need_commits
+            if not os.path.isdir(os.path.join(self.data_dir, c))
+        )
+        if missing:
+            raise ValueError(
+                f"changes({from_snapshot_id}, {to_snapshot_id}) needs commit "
+                f"dirs expired by vacuum(): {missing}; re-run with a newer "
+                "from_snapshot or raise vacuum's keep_snapshots"
+            )
         schema = self._schema(to_snap)
         user_cols = [f.name for f in schema.fields if f.name not in VERSION_COLUMNS]
         payload = [c for c in user_cols if c not in MERGE_KEY]
@@ -402,9 +432,16 @@ class LakeTable:
             winners.persist()
         try:
             if one_pass:
-                touched = sorted(
-                    {int(b) for b in touched_buckets if 0 <= int(b) < self.buckets}
-                )
+                touched = sorted({int(b) for b in touched_buckets})
+                if touched and (touched[0] < 0 or touched[-1] >= self.buckets):
+                    # an out-of-range bucket proves the caller hashed with a
+                    # different modulus than this table — silently dropping
+                    # it would strand rows in unregistered bucket partitions
+                    raise ValueError(
+                        f"touched_buckets {touched[:3]}..{touched[-3:]} out of "
+                        f"range for a {self.buckets}-bucket table; caller "
+                        "hashed with a different bucket count"
+                    )
             else:
                 # job 1 (small): which buckets does this batch touch? This is
                 # the copy-on-write pruning decision — the rest is one job.
@@ -424,11 +461,21 @@ class LakeTable:
             # `_origin` breaks version ties in favor of the current row
             # (0 > -1), so exact replays land as skipped, not applied.
             def _align(df: DataFrame, origin: int) -> DataFrame:
-                have = set(df.columns)
+                # columns align to the UNION schema's types: a batch whose
+                # epoch lacks a column backfills it as an untyped (string)
+                # NULL — without the cast, unionByName would coerce the
+                # whole table column to string for that commit, silently
+                # diverging from the manifest schema
+                have = {f.name: f.dataType for f in df.schema.fields}
                 return df.select(
                     *[
-                        F.col(f.name) if f.name in have
-                        else F.lit(None).cast(f.dataType).alias(f.name)
+                        (
+                            F.col(f.name)
+                            if have.get(f.name) == f.dataType
+                            else (
+                                F.col(f.name) if f.name in have else F.lit(None)
+                            ).cast(f.dataType)
+                        ).alias(f.name)
                         for f in schema.fields
                     ],
                     F.col("_bucket"),
@@ -482,8 +529,16 @@ class LakeTable:
                 # the union never resolves under the streaming foreachBatch
                 # listener (hangs), so it stays unknown rather than clever.
                 n_winners = None if one_pass else winners.count()  # cached
-                for b in touched:
-                    bucket_locations[str(b)] = commit_rel
+                if obs.get["live_rows"] > 0:
+                    for b in touched:
+                        bucket_locations[str(b)] = commit_rel
+                # else: the batch contributed NOTHING to these buckets (a
+                # one-pass touched SUPERSET where every event was scope-
+                # filtered away, against buckets with no prior data) — the
+                # commit dir holds zero parquet files, so pointing
+                # bucket_locations at it would make every later read fail
+                # schema inference. Keep prior locations; the manifest
+                # still advances batch_id/watermark.
 
             manifest = {
                 "snapshot_id": snapshot_id,

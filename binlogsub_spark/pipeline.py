@@ -119,6 +119,8 @@ def apply_batch(
         # per-file bucket sets is a superset of the buckets the merge will
         # touch (superset because scope filtering happens later), which lets
         # the merge skip its own distinct-buckets job entirely.
+        from binlogsub_spark.lake.table import bucket_expr
+
         img_conv = F.when(
             F.col("op") == OP_DELETE, F.col("before.conv_id")
         ).otherwise(F.col("after.conv_id"))
@@ -126,9 +128,7 @@ def apply_batch(
             events.select(
                 "file_seq",
                 "log_pos",
-                F.pmod(F.xxhash64(img_conv), F.lit(table.buckets))
-                .cast("int")
-                .alias("_b"),
+                bucket_expr(img_conv, table.buckets).alias("_b"),
             )
             .groupBy("file_seq")
             .agg(

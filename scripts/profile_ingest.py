@@ -44,8 +44,17 @@ try:
 
     k = [0]
     def run_A():
-        (events.select("file_seq", "log_pos").groupBy("file_seq")
-         .agg(F.max("log_pos"), F.count("*")).collect())
+        # mirrors apply_batch's ACTUAL lineage job (incl. bucket hashing +
+        # collect_set) so the A-vs-B decomposition attributes cost correctly
+        from binlogsub_spark.lake.table import bucket_expr
+
+        img_conv = F.when(
+            F.col("op") == "D", F.col("before.conv_id")
+        ).otherwise(F.col("after.conv_id"))
+        (events.select("file_seq", "log_pos",
+                       bucket_expr(img_conv, max(CPUS, 16)).alias("_b"))
+         .groupBy("file_seq")
+         .agg(F.max("log_pos"), F.count("*"), F.collect_set("_b")).collect())
     def run_B():
         k[0] += 1
         t = LakeTable(spark, os.path.join(tmp, f"tB{k[0]}"), buckets=max(CPUS, 16))

@@ -246,3 +246,22 @@ def test_raw_frame_stats_alignment(spark):
         stats.select(F.sum("log_pos")).first()[0]
         == corrupted.select(F.sum("log_pos")).first()[0]
     )
+
+
+def test_fixed_to_string_preserves_embedded_nuls():
+    """rstrip parity: only TRAILING NUL padding strips; an embedded NUL is
+    part of the key (round-4 review finding — first-NUL truncation would
+    collapse distinct merge keys)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from binlogsub_spark.codec import _fixed_to_string_arrow
+
+    vals = [b"ab\x00cd", b"ab\x00ce", b"plain", b"", b"\x00\x00"]
+    fixed = np.array([v.ljust(8, b"\x00") for v in vals], dtype="S8")
+    out = _fixed_to_string_arrow(fixed).to_pylist()
+    assert out == ["ab\x00cd", "ab\x00ce", "plain", "", ""]
+    legacy = [
+        s.decode() for s in np.char.rstrip(fixed, b"\x00").tolist()
+    ]
+    assert out == legacy

@@ -362,3 +362,114 @@ def test_changes_cli_surface(spark, tmp_path):
     ))
     assert full["deletes"] == 0 and full["updates"] == 0
     assert full["inserts"] == table.read().count()
+
+
+def test_changes_after_vacuum_fails_cleanly(spark, tmp_path):
+    """changes() spanning a vacuumed-away commit must raise a clear
+    driver-side error, not a mid-job file-not-found."""
+    import pytest
+
+    from binlogsub_spark.config import EngineConfig
+    from binlogsub_spark.lake.table import LakeTable
+    from binlogsub_spark.pipeline import apply_batch
+    from binlogsub_spark.sources.generator import GeneratorParams, generate_binlog
+
+    ev = generate_binlog(spark, GeneratorParams(n_events=1200, n_convs=30, dup_tail=0))
+    table = LakeTable(spark, str(tmp_path / "t"), buckets=8)
+    for i, lo, hi in [(1, 0, 400), (2, 400, 800), (3, 800, 1300)]:
+        apply_batch(
+            table,
+            ev.where(f"delivery_seq >= {lo} and delivery_seq < {hi}"),
+            batch_id=i, cfg=EngineConfig(), persist_source=True,
+        )
+    # a fully-vacuumed FROM snapshot already fails cleanly on the manifest
+    table.compact()  # moves live buckets to a new commit dir
+    table.vacuum(keep_snapshots=1)  # drops old manifests + commit dirs
+    with pytest.raises(ValueError, match="never committed, or expired"):
+        table.changes(1, 2).count()
+    # the vacuum CRASH window (commit dirs removed, manifests not yet):
+    # changes() must fail with a clear driver-side error, not mid-job
+    import shutil
+
+    snap = table.snapshot()
+    a_commit = next(v for v in snap["bucket_locations"].values() if v)
+    shutil.rmtree(f"{tmp_path}/t/data/{a_commit}")
+    with pytest.raises(ValueError, match="expired by vacuum"):
+        table.changes(None).count()
+
+
+def test_all_filtered_batch_does_not_brick_table(spark, tmp_path):
+    """A micro-batch whose events are ALL scope-filtered out (touched
+    superset non-empty, zero winners) must commit a harmless no-op — not a
+    manifest pointing at an empty commit dir that breaks every later read
+    (round-4 review finding)."""
+    from pyspark.sql import functions as F
+
+    from binlogsub_spark.config import EngineConfig
+    from binlogsub_spark.lake.table import LakeTable
+    from binlogsub_spark.pipeline import apply_batch
+    from binlogsub_spark.sources.generator import GeneratorParams, generate_binlog
+
+    ev = generate_binlog(spark, GeneratorParams(n_events=500, n_convs=20, dup_tail=0))
+    noise = ev.withColumn("db_name", F.lit("otherdb"))
+    table = LakeTable(spark, str(tmp_path / "t"), buckets=8)
+    m = apply_batch(table, noise, batch_id=1, cfg=EngineConfig(), persist_source=True)
+    assert m["applied"] == 0 and m["events"] == 500
+    assert table.read().count() == 0  # readable, empty — not AnalysisException
+    assert table.changes(None).count() == 0
+    # and real data afterwards lands normally
+    m2 = apply_batch(table, ev, batch_id=2, cfg=EngineConfig(), persist_source=True)
+    assert m2["applied"] > 0
+    assert table.read().count() > 0
+
+
+def test_mysql_epoch_backfill_keeps_column_type(spark, tmp_path):
+    """A batch whose table epoch LACKS a typed column (backfill-NULL path)
+    must not flip the committed column type to string (round-4 review
+    finding: union-side coercion)."""
+    from pyspark.sql import types as T
+
+    from binlogsub_spark.lake.table import LakeTable
+    from binlogsub_spark.operators.dedup import partial_lww_reduce
+
+    table = LakeTable(spark, str(tmp_path / "t"), buckets=4)
+    full = spark.createDataFrame(
+        [("c1", 0, 1.5, "x", "I", "2024-01-01 00:00:00", 0, 10)],
+        "conv_id string, turn_idx int, score double, text string, _op string, "
+        "_ts string, _file_seq int, _log_pos long",
+    ).selectExpr("conv_id", "turn_idx", "score", "text", "_op",
+                 "cast(_ts as timestamp) _ts", "_file_seq", "_log_pos")
+    table.merge(partial_lww_reduce(full), batch_id=1,
+                touched_buckets=list(range(4)))
+    assert dict(table.read().dtypes)["score"] == "double"
+    # epoch-2 batch: `score` decoded absent -> backfilled as STRING null
+    degraded = spark.createDataFrame(
+        [("c2", 0, None, "y", "I", "2024-01-02 00:00:00", 0, 20)],
+        "conv_id string, turn_idx int, score string, text string, _op string, "
+        "_ts string, _file_seq int, _log_pos long",
+    ).selectExpr("conv_id", "turn_idx", "score", "text", "_op",
+                 "cast(_ts as timestamp) _ts", "_file_seq", "_log_pos")
+    table.merge(partial_lww_reduce(degraded), batch_id=2,
+                touched_buckets=list(range(4)))
+    assert dict(table.read().dtypes)["score"] == "double"  # type survived
+    got = {r["conv_id"]: r["score"] for r in table.read().collect()}
+    assert got == {"c1": 1.5, "c2": None}
+
+
+def test_merge_rejects_foreign_bucket_modulus(spark, tmp_path):
+    """touched_buckets hashed with a different bucket count must raise,
+    not silently strand rows (round-4 review finding)."""
+    import pytest
+
+    from binlogsub_spark.config import EngineConfig
+    from binlogsub_spark.lake.table import LakeTable
+    from binlogsub_spark.operators.dedup import partial_lww_reduce
+    from binlogsub_spark.pipeline import prepare_upserts
+    from binlogsub_spark.sources.generator import GeneratorParams, generate_binlog
+
+    ev = generate_binlog(spark, GeneratorParams(n_events=300, n_convs=10, dup_tail=0))
+    table = LakeTable(spark, str(tmp_path / "t"), buckets=8)
+    partials = partial_lww_reduce(prepare_upserts(ev, EngineConfig()))
+    with pytest.raises(ValueError, match="different bucket count"):
+        table.merge(partials, batch_id=1, pre_reduced=True,
+                    touched_buckets=[0, 3, 97])  # 97 >= 8
