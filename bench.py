@@ -136,6 +136,20 @@ def run_bench(sf_dir: str, cpus: int, ingest_events: int | None = None) -> dict:
         )
         raw = spark.read.parquet(raw_src)
         raw.count()
+        # untimed warmup for the RAW plan shape (kernel pickling, python
+        # worker spin-up, codegen) — the structured path gets the same
+        # treatment via the `warm` apply at the top; without it the first
+        # timed reps still descend and best-of-3 lands ~2x above steady
+        # state (measured: 7.5/4.2/3.4/2.5 s across reps at 1M events)
+        write_raw_binlog(
+            spark, os.path.join(tmp, "rawwarm"),
+            GeneratorParams(n_events=50_000, dup_tail=0), n_files=8,
+        )
+        apply_raw_batch(
+            LakeTable(spark, os.path.join(tmp, "rawwarmtbl"), buckets=8),
+            spark.read.parquet(os.path.join(tmp, "rawwarm")),
+            batch_id=1, cfg=EngineConfig(),
+        )
         raw_sec = None
         for rep in range(3):  # best-of-3, fresh table each (same as structured)
             raw_table = LakeTable(
