@@ -530,14 +530,19 @@ def q_multimodal_metadata(spark, sf):
 
 
 def _mixed_media(spark, sf):
-    """Mixed-codec media fixture: EVEN doc_ids carry GENUINE P6 PPM images
-    (real header, w*h*3 raw pixels, deterministic per-id dimensions and
-    channel values so the oracle can predict real decode output); ODD
-    doc_ids carry raw text bytes that exercise the stub codec path. One
-    corpus drives both sides of the codec dispatch."""
+    """Mixed-codec media fixture: EVEN doc_ids carry GENUINE images with
+    deterministic per-id dimensions and constant channel values (so the
+    oracle can predict real decode output) — doc_id % 4 == 0 as P6 PPM,
+    doc_id % 4 == 2 as 24-bit BMP, proving the codec dispatch generalizes
+    past one magic; ODD doc_ids carry raw text bytes that exercise the
+    stub codec path. One corpus drives all three sides of the dispatch."""
     import pandas as pd
 
-    from binlogsub_spark.functions.multimodal import attach_media, encode_ppm
+    from binlogsub_spark.functions.multimodal import (
+        attach_media,
+        encode_bmp,
+        encode_ppm,
+    )
 
     d = _t(spark, sf, "documents").select("doc_id", "text")
 
@@ -554,7 +559,9 @@ def _mixed_media(spark, sf):
                     px[..., 0] = did % 256
                     px[..., 1] = (did * 7) % 256
                     px[..., 2] = (did * 13) % 256
-                    payloads.append(encode_ppm(px))
+                    payloads.append(
+                        encode_ppm(px) if did % 4 == 0 else encode_bmp(px)
+                    )
                 else:
                     payloads.append(str(text).encode("utf-8"))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
@@ -1756,7 +1763,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id AS media_id, text, sha256(text) AS sha
               FROM documents
             ),
-            ppm AS (  -- even ids: REAL PPM (header dims + channel means)
+            img AS (  -- even ids: REAL images (header dims + channel
+                      -- means); %4==0 -> P6 PPM, %4==2 -> 24-bit BMP
               SELECT media_id,
                      100 + media_id % 200 AS w, 60 + media_id % 150 AS h,
                      media_id % 256 AS r, (media_id * 7) % 256 AS g,
@@ -1788,13 +1796,17 @@ def oracle_sql() -> dict[str, str]:
               FROM d WHERE media_id % 2 = 1
             )
             SELECT media_id,
-                   9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
-                     + 3 * w * h AS n_bytes,
+                   CASE WHEN media_id % 4 = 0  -- PPM: text header + raw RGB
+                        THEN 9 + length(CAST(w AS VARCHAR))
+                               + length(CAST(h AS VARCHAR)) + 3 * w * h
+                        -- BMP: 54-byte headers + 4-byte-padded BGR rows
+                        ELSE 54 + (3 * w + (4 - (3 * w) % 4) % 4) * h
+                   END AS n_bytes,
                    w AS width, h AS height,
                    round(CAST((r / 255.0) AS FLOAT)::DOUBLE, 4) AS f0,
                    round(CAST((g / 255.0) AS FLOAT)::DOUBLE, 4) AS f1,
                    round(CAST((b / 255.0) AS FLOAT)::DOUBLE, 4) AS f2
-            FROM ppm
+            FROM img
             UNION ALL
             SELECT media_id, n_bytes, w AS width, h AS height, f0, f1, f2
             FROM stub
@@ -1803,13 +1815,14 @@ def oracle_sql() -> dict[str, str]:
             WITH d AS (
               SELECT doc_id AS media_id, sha256(text) AS sha FROM documents
             ),
-            ppm AS (  -- even ids: REAL PPM decode+resample+re-encode
+            img AS (  -- even ids: REAL decode+resample+re-encode
+                      -- (%4==0 PPM, %4==2 BMP)
               SELECT media_id,
                      100 + media_id % 200 AS width,
                      60 + media_id % 150 AS height
               FROM d WHERE media_id % 2 = 0
             ),
-            ppm2 AS (
+            img2 AS (
               SELECT media_id, width, height,
                      CASE WHEN greatest(width, height) > 128
                           THEN (width * 128) // greatest(width, height)
@@ -1818,7 +1831,7 @@ def oracle_sql() -> dict[str, str]:
                           THEN (height * 128) // greatest(width, height)
                           ELSE height END AS new_height,
                      greatest(width, height) > 128 AS resized
-              FROM ppm
+              FROM img
             ),
             stub AS (  -- odd ids: stub codec (digest-derived dims)
               SELECT media_id,
@@ -1828,11 +1841,16 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT media_id, 'image' AS kind, width, height,
                    new_width, new_height, resized,
-                   -- true size of the re-encoded P6: header + 3*w*h
-                   9 + length(CAST(new_width AS VARCHAR))
-                     + length(CAST(new_height AS VARCHAR))
-                     + 3 * new_width * new_height AS new_n_bytes
-            FROM ppm2
+                   -- true size of the SAME-container re-encode
+                   CASE WHEN media_id % 4 = 0  -- P6: text header + 3*w*h
+                        THEN 9 + length(CAST(new_width AS VARCHAR))
+                               + length(CAST(new_height AS VARCHAR))
+                               + 3 * new_width * new_height
+                        -- BMP: 54 + padded-stride * h
+                        ELSE 54 + (3 * new_width
+                                   + (4 - (3 * new_width) % 4) % 4) * new_height
+                   END AS new_n_bytes
+            FROM img2
             UNION ALL
             SELECT media_id, 'image' AS kind, width, height,
                    CASE WHEN greatest(width, height) > 128

@@ -532,6 +532,7 @@ def raw_frame_stats_df(
     counts AND the touched-COW-bucket set — no text gather, no UTF-8 scan,
     no second scan of the source."""
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     def _stats(batches) -> Iterator["pa.RecordBatch"]:
         for rb in batches:
@@ -549,10 +550,19 @@ def raw_frame_stats_df(
                     g = ok[versions == v]
                     if g.size:
                         conv_mat[g] = _gather_headers(data, starts[g], dt)["conv_id"]
+            # cast the passthrough columns to the declared output types — a
+            # source carrying file_seq as bigint (accepted by every other
+            # path) must not fail inside the kernel on an Arrow type pin
             yield pa.RecordBatch.from_arrays(
                 [
-                    rb.column(rb.schema.get_field_index("file_seq")),
-                    rb.column(rb.schema.get_field_index("log_pos")),
+                    pc.cast(
+                        rb.column(rb.schema.get_field_index("file_seq")),
+                        pa.int32(),
+                    ),
+                    pc.cast(
+                        rb.column(rb.schema.get_field_index("log_pos")),
+                        pa.int64(),
+                    ),
                     _fixed_to_string_arrow(conv_mat, valid=valid),
                 ],
                 names=["file_seq", "log_pos", "conv_id"],

@@ -253,6 +253,36 @@ def minhash_band_store(
     ).select(id_col, "bb.band", "bb.bh")
 
 
+def write_minhash_band_store(
+    store: DataFrame,
+    table_name: str,
+    buckets: int = 64,
+    path: str | None = None,
+) -> DataFrame:
+    """Persist a ``minhash_band_store`` result BUCKETED AND SORTED by
+    (band, bh) — the one-time corpus-side write that makes every later
+    daily-batch join one-sided: Spark's bucketed-scan join shuffles only
+    the (small) batch side into the store's bucket layout; the corpus
+    store — the 100 TB side — is read in place, zero exchange, per-bucket
+    sorted so candidate lookups within a task are merge-friendly.
+
+    ``saveAsTable`` is required because bucket metadata lives in the
+    catalog, not in the parquet footer; pass ``path`` to keep the data at
+    an explicit reliable-storage location (external table). Returns the
+    catalog-backed DataFrame to join against."""
+    spark = store.sparkSession
+    writer = (
+        store.write.mode("overwrite")
+        .bucketBy(buckets, "band", "bh")
+        .sortBy("band", "bh")
+        .format("parquet")
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)
+    return spark.table(table_name)
+
+
 def incremental_minhash_pairs(
     new_df: DataFrame,
     corpus_df: DataFrame,
@@ -264,6 +294,7 @@ def incremental_minhash_pairs(
     n: int = 3,
     threshold: float = 0.5,
     hash_fn: str = "xxhash64",
+    result_path: str | None = None,
 ) -> DataFrame:
     """Dedup a NEW batch against an EXISTING corpus via its persisted
     band-key ``store`` (``minhash_band_store`` output) — the shape
@@ -276,11 +307,25 @@ def incremental_minhash_pairs(
     candidate docs that band-matched, re-shingled for the exact-Jaccard
     verification (a semi-join-pruned read: candidates are a vanishing
     fraction of the corpus). Returns (new_id, old_id, jaccard >= threshold).
+
+    Materialization is CALLER-OWNED: by default the fully recomputable
+    lazy plan is returned (the shingle subtree appears in several join
+    branches and is recomputed per branch — fine for one-shot actions).
+    Pass ``result_path`` (any reliable store: HDFS/S3/local) to compute
+    the result ONCE with the shingle intermediates cached, write it there,
+    and get back a clean scan of the written result. An executor loss can
+    always recompute either form — there is no executor-local
+    (``localCheckpoint``) state whose loss would strand the result.
     """
     rows_per_band = num_hashes // bands
-    new_sh = shingle_df(new_df, text_col, id_col, n).persist()
+    materialize = result_path is not None
+    new_sh = shingle_df(new_df, text_col, id_col, n)
+    if materialize:
+        # persist (NOT localCheckpoint: persist keeps lineage, so lost
+        # blocks recompute) and materialize before the multi-reference job
+        new_sh = new_sh.persist()
+        new_sh.count()
     try:
-        new_sh.count()  # materialize before multi-reference jobs
         new_sig = minhash_signatures(
             None, text_col, id_col, num_hashes, n, hash_fn=hash_fn, shingles=new_sh
         )
@@ -308,9 +353,11 @@ def incremental_minhash_pairs(
         old_ids = cand.select(F.col("old_id").alias(id_col)).distinct()
         old_sh = shingle_df(
             corpus_df.join(old_ids, id_col, "left_semi"), text_col, id_col, n
-        ).persist()
-        try:
+        )
+        if materialize:
+            old_sh = old_sh.persist()
             old_sh.count()
+        try:
             new_sizes = new_sh.groupBy(id_col).agg(F.count("*").alias("sz_new"))
             old_sizes = old_sh.groupBy(id_col).agg(F.count("*").alias("sz_old"))
             inter = (
@@ -341,11 +388,16 @@ def incremental_minhash_pairs(
                 .where(F.col("jaccard") >= threshold)
                 .select("new_id", "old_id", "jaccard")
             )
-            return out.localCheckpoint(eager=True)
+            if not materialize:
+                return out
+            out.write.mode("overwrite").parquet(result_path)
+            return new_df.sparkSession.read.parquet(result_path)
         finally:
-            old_sh.unpersist(blocking=False)
+            if materialize:
+                old_sh.unpersist(blocking=False)
     finally:
-        new_sh.unpersist(blocking=False)
+        if materialize:
+            new_sh.unpersist(blocking=False)
 
 
 def minhash_lsh_pairs(
@@ -357,19 +409,27 @@ def minhash_lsh_pairs(
     n: int = 3,
     threshold: float = 0.5,
     hash_fn: str = "xxhash64",
+    result_path: str | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate pairs, verified with exact Jaccard.
 
     bands=16 x rows=4 over 64 hashes -> S-curve threshold ~ (1/16)^(1/4)
     ≈ 0.5. Candidates come from an equi-join on (band_idx, band_key) —
-    shuffle keyed on band buckets, never a cross join. The shingle set is
-    computed ONCE and persisted across the signature pass and the exact
-    verification pass (it is the most expensive intermediate).
+    shuffle keyed on band buckets, never a cross join.
+
+    Materialization is caller-owned (same contract as
+    ``incremental_minhash_pairs``): default = recomputable lazy plan;
+    ``result_path`` = compute once with the shingle set persisted across
+    the signature and verification passes, write to reliable storage,
+    return a scan of the result.
     """
     rows_per_band = num_hashes // bands
-    sh = shingle_df(df, text_col, id_col, n).persist()
-    try:
+    materialize = result_path is not None
+    sh = shingle_df(df, text_col, id_col, n)
+    if materialize:
+        sh = sh.persist()
         sh.count()  # materialize the cache before the multi-reference job
+    try:
         sig = minhash_signatures(
             None, text_col, id_col, num_hashes, n, hash_fn=hash_fn, shingles=sh
         )
@@ -408,11 +468,13 @@ def minhash_lsh_pairs(
             .where(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard")
         )
-        # eager: compute the (small) verified pair set while shingles are
-        # cached; a lazy return would recompute shingles 3x after unpersist
-        return out.localCheckpoint(eager=True)
+        if not materialize:
+            return out
+        out.write.mode("overwrite").parquet(result_path)
+        return df.sparkSession.read.parquet(result_path)
     finally:
-        sh.unpersist(blocking=False)
+        if materialize:
+            sh.unpersist(blocking=False)
 
 
 # ----------------------------------------------------------------- SimHash

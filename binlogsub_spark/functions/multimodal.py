@@ -1,11 +1,15 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-The codec boundary dispatches on content magic:
+The codec boundary dispatches on content magic (``_CODECS`` registry):
 
 * **PPM (P6) images decode FOR REAL** — a pure-numpy decoder/encoder/
   resizer below (no external codec libs needed): genuine header parse,
   genuine pixel statistics, genuine nearest-neighbor resample, genuine
-  re-encode. One end-to-end image path runs on real pixels.
+  re-encode.
+* **BMP (24-bit BI_RGB) images decode FOR REAL too** — pure struct
+  header parse (BITMAPFILEHEADER + BITMAPINFOHEADER), BGR bottom-up
+  padded rows handled exactly per the public format spec; proves the
+  dispatch generalizes past one magic.
 * Everything else (JPEG/PNG/audio/video — libs absent in this container)
   hits ``_decode_image_stub``, clearly marked; everything Spark-side —
   schema, Arrow batch shape, mapInPandas signatures, partitioning — is
@@ -117,13 +121,98 @@ def resize_nearest(pixels: np.ndarray, new_w: int, new_h: int) -> np.ndarray:
     return pixels[ys][:, xs]
 
 
-def _decode_ppm_features(content: bytes) -> tuple[int, int, np.ndarray]:
-    """REAL decode: dimensions from the header, 8-dim feature from genuine
-    pixel statistics (channel means, min, max, normalized dims)."""
-    w, h, arr = decode_ppm(content)
-    flat = arr.reshape(-1, 3)
-    means = flat.mean(axis=0) / 255.0
-    feat = np.array(
+# ---------------------------------------------- REAL BMP (24-bit) codec --
+BMP_MAGIC = b"BM"
+_BMP_HEADER_SIZE = 14 + 40  # BITMAPFILEHEADER + BITMAPINFOHEADER
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> 24-bit uncompressed BMP (BI_RGB): BGR byte
+    order, bottom-up rows, each row padded to a 4-byte boundary — the
+    publicly documented Windows DIB layout, pure struct/numpy."""
+    import struct
+
+    h, w, c = pixels.shape
+    if c != 3 or pixels.dtype != np.uint8:
+        raise ValueError("encode_bmp expects (h, w, 3) uint8")
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    bgr = pixels[::-1, :, ::-1]  # bottom-up rows, RGB -> BGR
+    if pad:
+        rows = np.zeros((h, row_bytes + pad), dtype=np.uint8)
+        rows[:, :row_bytes] = bgr.reshape(h, row_bytes)
+        body = rows.tobytes()
+    else:
+        body = np.ascontiguousarray(bgr).tobytes()
+    file_size = _BMP_HEADER_SIZE + len(body)
+    return (
+        struct.pack("<2sIHHI", b"BM", file_size, 0, 0, _BMP_HEADER_SIZE)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+        + body
+    )
+
+
+def decode_bmp(content: bytes) -> tuple[int, int, np.ndarray]:
+    """24-bit BI_RGB BMP -> (width, height, (h, w, 3) uint8 RGB). Handles
+    bottom-up (positive height) and top-down (negative height) DIBs and
+    the 4-byte row padding; rejects compressed / non-24bpp variants."""
+    import struct
+
+    if content[:2] != BMP_MAGIC:
+        raise ValueError("not a BMP (bad magic)")
+    if len(content) < _BMP_HEADER_SIZE:
+        raise ValueError("truncated BMP header")
+    _, _, _, _, data_offset = struct.unpack_from("<2sIHHI", content, 0)
+    hdr_size, w, h_signed, planes, bpp, compression = struct.unpack_from(
+        "<IiiHHI", content, 14
+    )
+    if hdr_size < 40 or planes != 1:
+        raise ValueError("unsupported BMP DIB header")
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only 24-bit BI_RGB supported (bpp={bpp}, comp={compression})")
+    top_down = h_signed < 0
+    h = -h_signed if top_down else h_signed
+    if w <= 0 or h <= 0:
+        raise ValueError("bad BMP dimensions")
+    row_bytes = w * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    need = stride * h
+    if len(content) - data_offset < need:
+        raise ValueError(f"BMP pixel data short: {len(content) - data_offset} < {need}")
+    rows = np.frombuffer(
+        content, dtype=np.uint8, count=need, offset=data_offset
+    ).reshape(h, stride)[:, :row_bytes]
+    bgr = rows.reshape(h, w, 3)
+    if not top_down:
+        bgr = bgr[::-1]
+    return w, h, bgr[:, :, ::-1]  # BGR -> RGB
+
+
+# magic -> (decode: bytes -> (w, h, rgb), encode: rgb -> bytes). Adding a
+# container = one registry line; the Spark-side plumbing never changes.
+_CODECS: dict[bytes, tuple] = {
+    PPM_MAGIC: (decode_ppm, encode_ppm),
+    BMP_MAGIC: (decode_bmp, encode_bmp),
+}
+
+
+def _decode_pixels(content: bytes):
+    """Dispatch on magic; (w, h, rgb) for a decodable container, None for
+    anything the registry cannot decode (incl. magic-prefixed garbage)."""
+    codec = _CODECS.get(content[:2])
+    if codec is None:
+        return None
+    try:
+        return codec[0](content)
+    except ValueError:
+        return None  # magic-prefixed but invalid: treat as opaque
+
+
+def _pixel_features(w: int, h: int, arr: np.ndarray) -> np.ndarray:
+    """8-dim feature from genuine pixel statistics (channel means, min,
+    max, normalized dims)."""
+    means = arr.reshape(-1, 3).mean(axis=0) / 255.0
+    return np.array(
         [
             means[0], means[1], means[2],
             arr.min() / 255.0, arr.max() / 255.0,
@@ -131,17 +220,16 @@ def _decode_ppm_features(content: bytes) -> tuple[int, int, np.ndarray]:
         ],
         dtype=np.float32,
     )
-    return w, h, feat
 
 
 def _decode_image(content: bytes) -> tuple[int, int, np.ndarray]:
-    """Codec dispatch: P6 PPM decodes for real; other formats hit the
-    stub (no codec libs in this container)."""
-    if content[:2] == PPM_MAGIC:
-        try:
-            return _decode_ppm_features(content)
-        except ValueError:
-            pass  # P6-prefixed but not a valid PPM: treat as opaque
+    """Codec dispatch: registered containers (P6 PPM, 24-bit BMP) decode
+    for real; other formats hit the stub (no codec libs in this
+    container)."""
+    decoded = _decode_pixels(content)
+    if decoded is not None:
+        w, h, arr = decoded
+        return w, h, _pixel_features(w, h, arr)
     return _decode_image_stub(content)
 
 
@@ -189,13 +277,14 @@ def resize_media(media_df: DataFrame, max_side: int = 256) -> DataFrame:
     longest side exceeds ``max_side`` get integer-exact scaled target
     dimensions (floor((dim * max_side) / longest)) and a resized flag.
 
-    For P6 PPM content the pipeline runs ON REAL PIXELS end to end:
-    header parse -> nearest-neighbor resample -> PPM re-encode, with
-    ``new_n_bytes`` reporting the re-encoded size. For other formats the
-    pixel re-encode is the stub boundary (no codec libs in this container
-    — content passes through opaque, new_n_bytes is NULL); decode,
-    dimension math, envelope rewrite and Arrow batch shape still run for
-    real and are value-checked by the DuckDB oracle."""
+    For registered containers (P6 PPM, 24-bit BMP) the pipeline runs ON
+    REAL PIXELS end to end: header parse -> nearest-neighbor resample ->
+    re-encode IN THE SAME container, with ``new_n_bytes`` reporting the
+    re-encoded size. For other formats the pixel re-encode is the stub
+    boundary (no codec libs in this container — content passes through
+    opaque, new_n_bytes is NULL); decode, dimension math, envelope rewrite
+    and Arrow batch shape still run for real and are value-checked by the
+    DuckDB oracle."""
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -204,15 +293,12 @@ def resize_media(media_df: DataFrame, max_side: int = 256) -> DataFrame:
                 pdf["media_id"], pdf["kind"], pdf["content"]
             ):
                 content = bytes(content)
-                arr = None
-                if content[:2] == PPM_MAGIC:
-                    try:
-                        w, h, arr = decode_ppm(content)
-                    except ValueError:
-                        pass  # P6-prefixed but not a valid PPM: stub below
-                if arr is None:
+                decoded = _decode_pixels(content)
+                if decoded is not None:
+                    w, h, arr = decoded
+                else:
+                    arr = None
                     w, h, _ = _decode_image_stub(content)
-                is_ppm = arr is not None
                 longest = max(w, h)
                 if longest > max_side:
                     nw = (w * max_side) // longest
@@ -221,11 +307,12 @@ def resize_media(media_df: DataFrame, max_side: int = 256) -> DataFrame:
                 else:
                     nw, nh, resized = w, h, False
                 new_n_bytes = None
-                if is_ppm:
+                if arr is not None:
+                    encode = _CODECS[content[:2]][1]
                     out_arr = (
                         resize_nearest(arr, nw, nh) if resized else arr
                     )
-                    new_n_bytes = len(encode_ppm(np.ascontiguousarray(out_arr)))
+                    new_n_bytes = len(encode(np.ascontiguousarray(out_arr)))
                 rows.append(
                     {
                         "media_id": mid,

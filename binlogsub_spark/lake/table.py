@@ -135,10 +135,38 @@ class LakeTable:
     def _schema(self, snap: dict) -> T.StructType:
         return T.StructType.fromJson(json.loads(snap["schema_json"]))
 
-    @staticmethod
-    def _union_schema(old: T.StructType, new: T.StructType) -> T.StructType:
+    # Lossless widening chains: a batch delivering the NARROW side of one of
+    # these into a table column typed on the WIDE side is safe to cast; the
+    # reverse direction widens the TABLE column (normal schema evolution).
+    # Anything off-chain (int data for a string column, string for a date, …)
+    # is a genuine type conflict and must fail loudly — a silent cast would
+    # commit NULLs/garbage and flip the manifest type underneath readers.
+    _WIDEN_RANK = {
+        T.ByteType(): 0, T.ShortType(): 1, T.IntegerType(): 2, T.LongType(): 3,
+        T.FloatType(): 10, T.DoubleType(): 11,
+    }
+
+    @classmethod
+    def _widens_to(cls, narrow: T.DataType, wide: T.DataType) -> bool:
+        """True if ``narrow`` data can be cast to ``wide`` without loss."""
+        if narrow == wide:
+            return True
+        if isinstance(narrow, T.NullType):
+            return True
+        a, b = cls._WIDEN_RANK.get(narrow), cls._WIDEN_RANK.get(wide)
+        if a is not None and b is not None:
+            return a < b and (a >= 10) == (b >= 10)  # within one chain only
+        if isinstance(narrow, T.DecimalType) and isinstance(wide, T.DecimalType):
+            return (
+                wide.scale >= narrow.scale
+                and wide.precision - wide.scale >= narrow.precision - narrow.scale
+            )
+        return False
+
+    @classmethod
+    def _union_schema(cls, old: T.StructType, new: T.StructType) -> T.StructType:
         fields = list(old.fields)
-        names = {f.name for f in fields}
+        names = {f.name: i for i, f in enumerate(fields)}
         # New columns append before the hidden version columns.
         version_at = next(
             (i for i, f in enumerate(fields) if f.name in VERSION_COLUMNS),
@@ -147,8 +175,26 @@ class LakeTable:
         for f in new.fields:
             if f.name not in names:
                 fields.insert(version_at, f)
+                names = {g.name: i for i, g in enumerate(fields)}
                 version_at += 1
-                names.add(f.name)
+                continue
+            cur = fields[names[f.name]]
+            if cur.dataType == f.dataType:
+                continue
+            if cls._widens_to(f.dataType, cur.dataType):
+                continue  # batch narrower than table: _align casts up, lossless
+            if cls._widens_to(cur.dataType, f.dataType):
+                # batch wider than table: widen the TABLE column (evolution)
+                fields[names[f.name]] = T.StructField(
+                    f.name, f.dataType, nullable=True
+                )
+                continue
+            raise TypeError(
+                f"schema conflict on column {f.name!r}: table has "
+                f"{cur.dataType.simpleString()}, batch delivers "
+                f"{f.dataType.simpleString()} — not a lossless widening; "
+                "rename the batch column or migrate the table explicitly"
+            )
         return T.StructType(fields)
 
     # --------------------------------------------------------------- reads
@@ -265,11 +311,12 @@ class LakeTable:
         # a manifest can outlive its data files (vacuum keeps the last N
         # manifests but prunes commit dirs unreachable from them) — fail
         # with a clear driver-side error instead of a mid-job read failure
+        changed_set = set(changed)
         need_commits = {
             loc
             for locs in (locs_to, locs_from)
             for b, loc in locs.items()
-            if loc is not None and int(b) in set(changed)
+            if loc is not None and int(b) in changed_set
         }
         missing = sorted(
             c for c in need_commits
@@ -416,9 +463,12 @@ class LakeTable:
         """
         snap = self.snapshot()
         if snap is not None and batch_id <= snap["batch_id"]:
+            # superseded=None, not upserts.count(): a replayed batch_id is a
+            # committed no-op, and launching a full job over the batch plan
+            # for a diagnostic metric would make the CHEAP path the slow one
             return {
                 "applied": 0,
-                "superseded": upserts.count(),
+                "superseded": None,
                 "replayed": True,
                 "snapshot_id": snap["snapshot_id"],
             }

@@ -1592,9 +1592,9 @@ def demux_event_types(raw_df: DataFrame) -> DataFrame:
         .when(code == FORMAT_DESCRIPTION_EVENT, "format_description")
         .when(code == XID_EVENT, "xid")
         .when(code == TABLE_MAP_EVENT, "table_map")
-        .when(code == WRITE_ROWS_EVENT_V2, "write_rows")
-        .when(code == UPDATE_ROWS_EVENT_V2, "update_rows")
-        .when(code == DELETE_ROWS_EVENT_V2, "delete_rows")
+        .when(code.isin(WRITE_ROWS_EVENT_V1, WRITE_ROWS_EVENT_V2), "write_rows")
+        .when(code.isin(UPDATE_ROWS_EVENT_V1, UPDATE_ROWS_EVENT_V2), "update_rows")
+        .when(code.isin(DELETE_ROWS_EVENT_V1, DELETE_ROWS_EVENT_V2), "delete_rows")
         .when(code == GTID_LOG_EVENT, "gtid")
         .otherwise("other")
     )

@@ -278,6 +278,7 @@ def apply_raw_batch(
     batch_id: int,
     cfg: EngineConfig | None = None,
     persist_source: bool = False,
+    dead_letter_path: str | None = None,
 ) -> dict:
     """Raw wire path: payload:binary -> Arrow decode -> scope filter ->
     salted partial LWW -> MERGE. The per-partition lineage stats come from
@@ -293,7 +294,13 @@ def apply_raw_batch(
       2. full decode (pruned to the scoped columns, scope filter in-kernel
          on the scope byte) -> salted partial LWW -> one-pass MERGE.
     ``persist_source=True`` restores caching for callers whose input is an
-    expensive computed plan."""
+    expensive computed plan.
+
+    ``dead_letter_path`` routes structurally corrupt frames to a
+    reason-coded, batch_id-partitioned parquet sink (same idempotent
+    dynamic-overwrite contract as the MySQL path) instead of letting the
+    kernel's validity mask drop them silently; metrics then carry a
+    ``dead_letter`` count."""
     from pyspark import StorageLevel
 
     from binlogsub_spark.codec import (
@@ -301,12 +308,14 @@ def apply_raw_batch(
         decode_raw_events,
         raw_frame_stats_df,
         scope_codes_for,
+        split_deadletter,
     )
     from binlogsub_spark.lake.table import bucket_expr
 
     cfg = cfg or EngineConfig()
     if persist_source:
         raw_events.persist(StorageLevel.MEMORY_AND_DISK)
+    dead_count = None
     try:
         codes = scope_codes_for(cfg.scope.db_regex, cfg.scope.table_regex)
         per_file = (
@@ -340,7 +349,25 @@ def apply_raw_batch(
             + [c for c in cfg.scope.column_names if c != "ts"]
             if c in decodable
         ]
-        decoded = decode_raw_events(raw_events, columns=need, scope_codes=codes)
+        decode_src, skip_invalid = raw_events, True
+        if dead_letter_path is not None:
+            from pyspark.sql import Observation
+
+            valid, dead = split_deadletter(raw_events)
+            obs = Observation()
+            dead = dead.observe(obs, F.count(F.lit(1)).alias("n"))
+            (
+                dead.withColumn("batch_id", F.lit(batch_id))
+                .write.partitionBy("batch_id")
+                .option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite")
+                .parquet(dead_letter_path)
+            )
+            dead_count = obs.get["n"]
+            decode_src, skip_invalid = valid, False  # already verified
+        decoded = decode_raw_events(
+            decode_src, columns=need, scope_codes=codes, skip_invalid=skip_invalid
+        )
         partials = partial_lww_reduce(
             flat_to_upserts(decoded, cfg, pre_scoped=True), salt=cfg.skew_salt
         )
@@ -368,7 +395,7 @@ def apply_raw_batch(
             for r in per_file
         ]
     )
-    return {
+    metrics = {
         "batch_id": batch_id,
         "events": total,
         "applied": applied,
@@ -376,6 +403,9 @@ def apply_raw_batch(
         "replayed": res["replayed"],
         "snapshot_id": res["snapshot_id"],
     }
+    if dead_count is not None:
+        metrics["dead_letter"] = dead_count
+    return metrics
 
 
 def run_stream_raw(
@@ -386,6 +416,7 @@ def run_stream_raw(
     cfg: EngineConfig | None = None,
     max_files_per_trigger: int = 4,
     available_now: bool = True,
+    dead_letter_path: str | None = None,
 ):
     """Structured Streaming over the BINARY wire table (payload:binary):
     the full reference-equivalent path — framing columns outside the
@@ -400,7 +431,9 @@ def run_stream_raw(
     )
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        apply_raw_batch(table, batch_df, batch_id, cfg)
+        apply_raw_batch(
+            table, batch_df, batch_id, cfg, dead_letter_path=dead_letter_path
+        )
 
     writer = reader.writeStream.foreachBatch(_apply).option(
         "checkpointLocation", checkpoint_dir

@@ -56,7 +56,8 @@ def main(argv: list[str] | None = None) -> int:
     )
     ap.add_argument(
         "--dead-letter", default=None,
-        help="mysql mode: parquet path for reason-coded undecodable frames",
+        help="mysql/raw mode: parquet path for reason-coded undecodable "
+        "frames (batch_id-partitioned, idempotent on replay)",
     )
     ap.add_argument(
         "--changes", default=None, metavar="FROM[,TO]",
@@ -111,6 +112,9 @@ def main(argv: list[str] | None = None) -> int:
             extra_kw["dead_letter_path"] = args.dead_letter
     elif args.raw:
         from binlogsub_spark.pipeline import run_stream_raw as runner
+
+        if args.dead_letter:
+            extra_kw["dead_letter_path"] = args.dead_letter
     q = runner(
         spark,
         args.source,

@@ -313,3 +313,94 @@ def test_codec_dispatch_real_vs_stub():
     # P6-prefixed garbage must not crash the kernel
     w3, h3, _ = _decode_image(b"P6 garbage that is not a header")
     assert w3 >= 64 and h3 >= 64
+
+
+# ---------------------------------------------------------- real BMP codec
+def test_bmp_roundtrip_padding_and_topdown():
+    import numpy as np
+    import pytest as _pytest
+
+    from binlogsub_spark.functions.multimodal import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(19)
+    # width 29 -> row_bytes 87 -> 1 pad byte per row: exercises the stride
+    px = rng.integers(0, 256, size=(13, 29, 3), dtype=np.uint8)
+    blob = encode_bmp(px)
+    assert blob[:2] == b"BM"
+    assert len(blob) == 54 + (29 * 3 + 1) * 13
+    w, h, back = decode_bmp(blob)
+    assert (w, h) == (29, 13)
+    np.testing.assert_array_equal(back, px)
+    # width % 4 == 0 -> no padding
+    px4 = rng.integers(0, 256, size=(5, 8, 3), dtype=np.uint8)
+    assert len(encode_bmp(px4)) == 54 + 8 * 3 * 5
+    np.testing.assert_array_equal(decode_bmp(encode_bmp(px4))[2], px4)
+    # top-down variant (negative height) decodes to the same pixels
+    import struct
+
+    td = bytearray(encode_bmp(px))
+    struct.pack_into("<i", td, 22, -13)
+    rows = np.frombuffer(bytes(td)[54:], dtype=np.uint8).reshape(13, 88)
+    flipped = rows[::-1].tobytes()
+    td = bytes(td[:54]) + flipped
+    w2, h2, back2 = decode_bmp(td)
+    assert (w2, h2) == (29, 13)
+    np.testing.assert_array_equal(back2, px)
+    with _pytest.raises(ValueError):
+        decode_bmp(b"PX" + bytes(60))  # wrong magic
+    with _pytest.raises(ValueError):
+        decode_bmp(encode_bmp(px)[:50])  # truncated header
+    with _pytest.raises(ValueError):
+        decode_bmp(encode_bmp(px)[:-5])  # short pixel data
+
+
+def test_codec_dispatch_bmp():
+    import numpy as np
+
+    from binlogsub_spark.functions.multimodal import _decode_image, encode_bmp
+
+    px = np.full((10, 20, 3), 0, dtype=np.uint8)
+    px[..., 0] = 11
+    px[..., 1] = 22
+    px[..., 2] = 33
+    w, h, feat = _decode_image(encode_bmp(px))
+    assert (w, h) == (20, 10)
+    assert abs(feat[0] - 11 / 255.0) < 1e-6  # REAL channel means, RGB order
+    assert abs(feat[1] - 22 / 255.0) < 1e-6
+    assert abs(feat[2] - 33 / 255.0) < 1e-6
+    # BM-prefixed garbage must fall to the stub, never crash
+    w2, h2, _ = _decode_image(b"BM garbage that is not a bitmap header")
+    assert w2 >= 64 and h2 >= 64
+
+
+def test_resize_media_same_container_reencode(spark):
+    """resize_media re-encodes in the SOURCE container: PPM rows report
+    P6 sizes, BMP rows report padded-DIB sizes, stub rows NULL."""
+    import numpy as np
+
+    from binlogsub_spark.functions.multimodal import (
+        attach_media,
+        encode_bmp,
+        encode_ppm,
+        resize_media,
+    )
+
+    px = np.full((60, 200, 3), 5, dtype=np.uint8)  # longest 200 -> resize
+    rows = [
+        (0, bytearray(encode_ppm(px))),
+        (2, bytearray(encode_bmp(px))),
+        (1, bytearray(b"just text")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {
+        r["media_id"]: r
+        for r in resize_media(
+            attach_media(df, "doc_id", "payload"), max_side=128
+        ).collect()
+    }
+    # 200x60 -> 128x38
+    assert (out[0]["new_width"], out[0]["new_height"]) == (128, 38)
+    assert out[0]["new_n_bytes"] == len(b"P6\n128 38\n255\n") + 3 * 128 * 38
+    assert (out[2]["new_width"], out[2]["new_height"]) == (128, 38)
+    assert out[2]["new_n_bytes"] == 54 + (3 * 128) * 38  # 384 % 4 == 0
+    assert out[1]["new_n_bytes"] is None

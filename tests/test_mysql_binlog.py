@@ -32,6 +32,7 @@ from binlogsub_spark.mysql_binlog import (
     MYSQL_TYPE_YEAR,
     TABLE_MAP_EVENT,
     UPDATE_ROWS_EVENT_V2,
+    WRITE_ROWS_EVENT_V1,
     WRITE_ROWS_EVENT_V2,
     MysqlColumn,
     TableMap,
@@ -295,6 +296,11 @@ def test_demux_event_types(spark):
         encode_rows_event(WRITE_ROWS_EVENT_V2, tm, [
             (1, 1, 1, Decimal("1.0000"), datetime(2024, 1, 1), 1, "a", "b", b"c", 1.0)
         ]),
+        # v1 generation frames must demux under the same rows-event labels
+        # as v2 — the decoder handles both, the accounting must agree
+        encode_rows_event(WRITE_ROWS_EVENT_V1, tm, [
+            (2, 2, 2, Decimal("2.0000"), datetime(2024, 1, 2), 2, "d", "e", b"f", 2.0)
+        ]),
         encode_rotate("binlog.000002"),
     ]
     df = spark.createDataFrame(
@@ -302,7 +308,7 @@ def test_demux_event_types(spark):
         "file_seq INT, log_pos LONG, payload BINARY",
     )
     got = {r["event_type"]: r["n_events"] for r in demux_event_types(df).collect()}
-    assert got == {"format_description": 1, "table_map": 1, "write_rows": 1, "rotate": 1}
+    assert got == {"format_description": 1, "table_map": 1, "write_rows": 2, "rotate": 1}
 
 
 from hypothesis import given, settings, strategies as st

@@ -119,29 +119,66 @@ def test_incremental_dedup_no_cartesian_and_semi_join(spark):
     new = d.where(F.col("doc_id") % 2 == 1)
     store = minhash_band_store(corpus)
     out = incremental_minhash_pairs(new, corpus, store, threshold=0.05)
-    # the result is an eager localCheckpoint; audit the CANDIDATE plan
-    # (the expensive stage) directly instead
-    rows_per_band = 64 // 16
+    # the operator now returns the LAZY plan (caller-owned
+    # materialization, no localCheckpoint) — audit the result plan itself
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "localCheckpoint" not in plan and "ExistingRDD" not in plan
+    # the corpus text re-read on the verify side is semi-join pruned
+    assert "LeftSemi" in plan
+    assert out.columns == ["new_id", "old_id", "jaccard"]
+
+
+def test_band_store_bucketed_join_is_one_sided(spark, tmp_path):
+    """The persisted band store (bucketed+sorted by (band, bh)) must join
+    against a daily batch WITHOUT re-shuffling the store side — at 100 TB
+    the corpus store is the big side; a store-side Exchange would re-pay
+    the corpus shuffle every day."""
+    from pyspark.sql import functions as F
+
     from binlogsub_spark.functions.dedup import (
-        _band_key_expr,
-        minhash_signatures,
-        shingle_df,
+        minhash_band_store,
+        write_minhash_band_store,
     )
 
-    new_sig = minhash_signatures(new)
-    new_band = new_sig.select(
-        F.col("doc_id"),
-        F.explode(F.array(*_band_key_expr(16, rows_per_band, "xxhash64"))).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bh")
-    cand_plan = _plan(
-        new_band.alias("n").join(
-            store.alias("o"),
-            (F.col("n.band") == F.col("o.band"))
-            & (F.col("n.bh") == F.col("o.bh"))
-            & (F.col("n.doc_id") != F.col("o.doc_id")),
-        )
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    corpus = d.where(F.col("doc_id") % 2 == 0)
+    new_band = minhash_band_store(d.where(F.col("doc_id") % 2 == 1))
+    stored = write_minhash_band_store(
+        minhash_band_store(corpus), "t_band_store_plan", buckets=8,
+        path=str(tmp_path / "store"),
     )
-    assert "CartesianProduct" not in cand_plan
-    assert "BroadcastNestedLoopJoin" not in cand_plan
-    # and the end-to-end op found something at this SF without blowing up
-    assert out.columns == ["new_id", "old_id", "jaccard"]
+    # at test SF the batch side broadcasts (also one-sided, also fine);
+    # disable broadcast to force the large-vs-large shape the property is
+    # actually about — store side must scan bucketed, exchange-free
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = new_band.alias("n").join(
+            stored.alias("o"),
+            (F.col("n.band") == F.col("o.band")) & (F.col("n.bh") == F.col("o.bh")),
+        )
+        plan = _plan(joined)
+        assert "Bucketed: true" in plan, plan
+        # the store branch (everything from the join's second child down to
+        # the bucketed FileScan) must contain NO exchange — the store is
+        # read in place; only the batch side may shuffle
+        lines = plan.splitlines()
+        scan_at = next(
+            i for i, l in enumerate(lines) if "t_band_store_plan" in l
+        )
+        join_at = next(
+            i for i in range(scan_at, -1, -1) if "SortMergeJoin" in lines[i]
+        )
+        # first-child (batch-side) lines carry the join's ':' spine; the
+        # store branch is every join-subtree line without one
+        store_branch = [
+            l for l in lines[join_at + 1 : scan_at + 1] if ":" not in l
+        ]
+        assert store_branch and not any(
+            "Exchange" in l for l in store_branch
+        ), plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS t_band_store_plan")

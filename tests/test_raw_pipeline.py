@@ -149,3 +149,85 @@ def test_utf8_corruption_never_kills_decode(spark):
     assert decoded.count() == n - n_bad
     _, dead = split_deadletter(corrupted)
     assert dead.where("_reason = 'bad_utf8'").count() == n_bad
+
+
+def test_raw_dead_letter_sink_and_metrics(spark, tmp_path):
+    """apply_raw_batch(dead_letter_path=...) mirrors the MySQL path: corrupt
+    frames land in a reason-coded, batch_id-partitioned sink, metrics carry
+    a dead_letter count, a replayed batch OVERWRITES its own partition
+    (idempotent), and the committed table equals the valid-frames oracle."""
+    from binlogsub_spark.config import EngineConfig
+
+    ev = generate_binlog(spark, GeneratorParams(n_events=2000, n_convs=60, dup_tail=0))
+    raw = _raw(spark, ev)
+    corrupted = raw.withColumn(
+        "payload",
+        F.when(F.col("log_pos") % 10 == 4, F.expr("substring(payload, 1, 20)"))
+        .otherwise(F.col("payload")),
+    )
+    dl = str(tmp_path / "dead")
+    table = LakeTable(spark, str(tmp_path / "tbl"), buckets=8)
+    m = apply_raw_batch(
+        table, corrupted, batch_id=1, cfg=EngineConfig(), dead_letter_path=dl
+    )
+    n_bad = corrupted.where("log_pos % 10 = 4").count()
+    assert m["dead_letter"] == n_bad > 0
+    dead = spark.read.parquet(dl)
+    assert dead.count() == n_bad
+    assert set(dead.select("_reason").distinct().toPandas()["_reason"]) == {
+        "short_frame"
+    }
+    assert dead.where("batch_id = 1").count() == n_bad  # partitioned by batch
+
+    # replay the SAME batch: the sink must hold one copy, not two
+    m2 = apply_raw_batch(
+        table, corrupted, batch_id=1, cfg=EngineConfig(), dead_letter_path=dl
+    )
+    assert m2["replayed"]
+    assert spark.read.parquet(dl).count() == n_bad
+
+    # table state matches applying only the valid frames
+    clean_table = LakeTable(spark, str(tmp_path / "clean"), buckets=8)
+    apply_raw_batch(
+        clean_table, corrupted.where("log_pos % 10 <> 4"), batch_id=1,
+        cfg=EngineConfig(),
+    )
+    got = table.read().orderBy("conv_id", "turn_idx").toPandas()
+    exp = clean_table.read().orderBy("conv_id", "turn_idx").toPandas()
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_cli_raw_dead_letter(spark, tmp_path, monkeypatch, capsys):
+    """CLI: --raw --dead-letter streams the binary wire table through
+    run_stream_raw with the dead-letter sink wired (VERDICT r4 item 7)."""
+    import json as _json
+
+    from binlogsub_spark import run as run_mod
+
+    ev = generate_binlog(spark, GeneratorParams(n_events=1500, n_convs=50, dup_tail=0))
+    raw = _raw(spark, ev)
+    corrupted = raw.withColumn(
+        "payload",
+        F.when(F.col("log_pos") % 10 == 4, F.expr("substring(payload, 1, 20)"))
+        .otherwise(F.col("payload")),
+    )
+    src = str(tmp_path / "src")
+    corrupted.repartition(4).write.parquet(src)
+    n_bad = corrupted.where("log_pos % 10 = 4").count()
+
+    # keep the shared test session alive across main()'s spark.stop()
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    rc = run_mod.main([
+        "--source", src,
+        "--table", str(tmp_path / "tbl"),
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--raw",
+        "--dead-letter", str(tmp_path / "dead"),
+        "--buckets", "8",
+        "--master", "local[8]",
+    ])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["events_seen"] == 1500
+    assert spark.read.parquet(str(tmp_path / "dead")).count() == n_bad > 0
+    assert out["rows"] > 0

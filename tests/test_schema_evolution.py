@@ -59,3 +59,60 @@ def test_table_schema_union_backfill(spark, tmp_path):
     assert final.where(F.col("tool").isNull()).count() > 0
     assert final.where(F.col("tool").isNotNull()).count() > 0
     ev.unpersist()
+
+
+def test_schema_type_conflict_raises(spark, tmp_path):
+    """A batch delivering an INCOMPATIBLE type for an existing column (int
+    data for a string column) must fail loudly — not silently cast to
+    NULLs/garbage in the committed commit (ADVICE r4)."""
+    import pytest
+
+    table = LakeTable(spark, str(tmp_path / "tbl"), buckets=4)
+    base = spark.createDataFrame(
+        [("c1", 0, "hello", "I", 1.0, 0, 100)],
+        "conv_id string, turn_idx int, text string, _op string, "
+        "_ts double, _file_seq int, _log_pos long",
+    )
+    table.merge(base, batch_id=1)
+    bad = spark.createDataFrame(
+        [("c1", 1, 42, "I", 2.0, 0, 200)],
+        "conv_id string, turn_idx int, text int, _op string, "
+        "_ts double, _file_seq int, _log_pos long",
+    )
+    with pytest.raises(Exception, match="schema conflict.*text"):
+        table.merge(bad, batch_id=2)
+    # table unchanged: the failed merge committed nothing
+    assert table.snapshot()["batch_id"] == 1
+
+
+def test_schema_lossless_widening_allowed(spark, tmp_path):
+    """int -> bigint is a lossless widening: the table column widens
+    (normal schema evolution) instead of raising; a later narrow batch
+    casts up into the widened column."""
+    table = LakeTable(spark, str(tmp_path / "tbl"), buckets=4)
+    narrow = spark.createDataFrame(
+        [("c1", 0, 7, "I", 1.0, 0, 100)],
+        "conv_id string, turn_idx int, score int, _op string, "
+        "_ts double, _file_seq int, _log_pos long",
+    )
+    table.merge(narrow, batch_id=1)
+    wide = spark.createDataFrame(
+        [("c2", 0, 2**40, "I", 2.0, 0, 200)],
+        "conv_id string, turn_idx int, score long, _op string, "
+        "_ts double, _file_seq int, _log_pos long",
+    )
+    table.merge(wide, batch_id=2)
+    final = table.read()
+    assert dict(final.dtypes)["score"] == "bigint"
+    got = {r["conv_id"]: r["score"] for r in final.collect()}
+    assert got == {"c1": 7, "c2": 2**40}
+    # and a narrow batch into the widened table still casts up cleanly
+    table.merge(
+        spark.createDataFrame(
+            [("c3", 0, 9, "I", 3.0, 0, 300)],
+            "conv_id string, turn_idx int, score int, _op string, "
+            "_ts double, _file_seq int, _log_pos long",
+        ),
+        batch_id=3,
+    )
+    assert table.read().where("conv_id = 'c3'").first()["score"] == 9
