@@ -538,13 +538,17 @@ def _mixed_media(spark, sf):
     stub codec path. One corpus drives all three sides of the dispatch."""
     import pandas as pd
 
+    from binlogsub_spark.functions.dedup import _rebalance
     from binlogsub_spark.functions.multimodal import (
         attach_media,
         encode_bmp,
         encode_ppm,
     )
 
-    d = _t(spark, sf, "documents").select("doc_id", "text")
+    # the sf tables are single parquet files -> one partition; without a
+    # rebalance the whole encode+sha+decode pipeline runs on ONE core
+    # (at real scale input splits >> cores and this is a no-op)
+    d = _rebalance(_t(spark, sf, "documents").select("doc_id", "text"))
 
     def _build(batches):
         import numpy as np

@@ -571,6 +571,105 @@ def raw_frame_stats_df(
     return raw_df.mapInArrow(_stats, schema=RAW_STATS_SCHEMA)
 
 
+# IEEE 802.3 CRC32 lookup table (the polynomial zlib/Spark's crc32 use)
+_CRC32_TABLE = None
+
+
+def _crc32_table() -> np.ndarray:
+    global _CRC32_TABLE
+    if _CRC32_TABLE is None:
+        t = np.arange(256, dtype=np.uint32)
+        for _ in range(8):
+            t = np.where(t & 1, (t >> 1) ^ np.uint32(0xEDB88320), t >> 1)
+        _CRC32_TABLE = t
+    return _CRC32_TABLE
+
+
+def crc32_of_fixed(mat: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Vectorized CRC32 over a fixed-width byte matrix with per-row true
+    lengths (NUL-padded fields): one table-lookup step per byte COLUMN,
+    all rows in lockstep — the numpy twin of Spark's ``crc32`` /
+    zlib.crc32, bit-for-bit. Powers in-kernel bucket derivation
+    (``bucket_expr`` is CRC32-based for exactly this dual-computability).
+
+    ``mat``: (n, width) uint8; ``lengths``: (n,) int. Returns (n,) uint32.
+    """
+    table = _crc32_table()
+    n, width = mat.shape
+    crc = np.full(n, 0xFFFFFFFF, dtype=np.uint32)
+    for j in range(width):
+        active = lengths > j
+        if not active.any():
+            break
+        c = crc[active]
+        crc[active] = (c >> np.uint32(8)) ^ table[(c ^ mat[active, j]) & np.uint32(0xFF)]
+    return crc ^ np.uint32(0xFFFFFFFF)
+
+
+def raw_touched_buckets_df(
+    raw_df: DataFrame, buckets: int, scope_codes: frozenset | None = None
+) -> DataFrame:
+    """Per-kernel-batch DISTINCT COW bucket ids of the in-scope valid
+    frames — the touched-bucket superset for the one-pass MERGE, computed
+    INSIDE the kernel (header gather -> vectorized CRC32 -> unique), so
+    the job ships at most ``buckets`` rows per Arrow batch to the JVM
+    instead of one row per frame. Replaces the per-frame stats pass as
+    the merge's pre-job: at 2M events that pass spent ~70% of the raw
+    path's wall time shipping and hash-aggregating 2M (file_seq, log_pos,
+    conv_id) rows whose only consumer was a distinct-bucket set and a
+    per-file max that a column-pruned JVM aggregation computes for free.
+    """
+    import pyarrow as pa
+
+    out_schema = T.StructType([T.StructField("bucket", T.IntegerType())])
+    # conv_id byte offset by epoch: common prefix (24) [+ tool byte in v2]
+    # + turn_idx (4); field width 24 (_SUFFIX). A frame long enough to
+    # carry the conv field is ALL the validation the superset needs —
+    # frames the decode later rejects (bad enum, len mismatch, utf8) at
+    # worst contribute a harmless extra bucket.
+    conv_offs = {
+        v: dt.itemsize - dt["conv_id"].itemsize - dt["text_len"].itemsize
+        for v, dt in _HEADER_DTYPES.items()
+    }
+
+    def _buckets(batches) -> Iterator["pa.RecordBatch"]:
+        for rb in batches:
+            arr = rb.column(rb.schema.get_field_index("payload"))
+            starts, ends, data = _binary_buffers(arr)
+            n = len(starts)
+            lens = ends - starts
+            valid = lens > _VERSION_OFFSET
+            if scope_codes is not None and n:
+                valid &= _scope_mask(starts, ends, data, scope_codes)
+            versions = np.zeros(n, dtype=np.uint8)
+            valid_idx = np.flatnonzero(valid)
+            versions[valid_idx] = data[starts[valid_idx] + _VERSION_OFFSET]
+            parts = []
+            for v, off in conv_offs.items():
+                g = np.flatnonzero((versions == v) & (lens >= off + 24))
+                if not g.size:
+                    continue
+                # gather ONLY the 24 conv bytes, never the whole header
+                mat = data[starts[g][:, None] + (off + np.arange(24, dtype=np.int64))]
+                lengths = np.where(
+                    (mat == 0).any(axis=1), (mat == 0).argmax(axis=1), 24
+                )
+                parts.append(
+                    (crc32_of_fixed(mat, lengths) % np.uint32(buckets)).astype(
+                        np.int32
+                    )
+                )
+            out = (
+                np.unique(np.concatenate(parts))
+                if parts
+                else np.zeros(0, dtype=np.int32)
+            )
+            yield pa.RecordBatch.from_pydict({"bucket": pa.array(out)})
+
+    # payload-only projection: the kernel never needs the framing columns
+    return raw_df.select("payload").mapInArrow(_buckets, schema=out_schema)
+
+
 def split_deadletter(raw_df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """S5 demux: (valid, dead_letter). Both sides keep the framing columns
     so dead-lettered events stay addressable by (file_seq, log_pos), and the

@@ -50,14 +50,20 @@ from binlogsub_spark.plans.envelope import MERGE_KEY, VERSION_COLUMNS
 
 
 def bucket_expr(col, buckets: int):
-    """Deterministic key->bucket clustering (xxhash64, stable across runs).
-    ``col``: column name or Column. This is THE one definition of the
-    bucket hash — callers that precompute ``touched_buckets`` supersets
-    (apply_batch/apply_raw_batch) MUST use it too, or their superset
-    invariant silently breaks and merge strands rows in unregistered
-    bucket partitions."""
+    """Deterministic key->bucket clustering (CRC32 of the UTF-8 bytes,
+    stable across runs). ``col``: column name or Column. This is THE one
+    definition of the bucket hash — callers that precompute
+    ``touched_buckets`` supersets (apply_batch/apply_raw_batch) MUST use
+    it too, or their superset invariant silently breaks and merge strands
+    rows in unregistered bucket partitions.
+
+    CRC32 (not xxhash64) because the hash must be computable BOTH as a
+    whole-stage-codegen Spark expression AND as a vectorized numpy kernel
+    (codec.crc32_of_fixed) — the raw wire path derives the touched-bucket
+    set INSIDE its Arrow kernel and ships only distinct bucket ids to the
+    JVM, so the two sides must agree bit-for-bit on every key."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.pmod(F.xxhash64(c), F.lit(buckets)).cast("int")
+    return F.pmod(F.crc32(F.encode(c, "UTF-8")), F.lit(buckets)).cast("int")
 
 
 class LakeTable:
@@ -180,6 +186,11 @@ class LakeTable:
                 continue
             cur = fields[names[f.name]]
             if cur.dataType == f.dataType:
+                continue
+            if f.metadata.get("null_backfill"):
+                # an all-NULL epoch backfill (pipeline marks it): its type
+                # is a placeholder, not a claim — keep the table's type,
+                # _align casts the NULLs up
                 continue
             if cls._widens_to(f.dataType, cur.dataType):
                 continue  # batch narrower than table: _align casts up, lossless

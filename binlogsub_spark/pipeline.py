@@ -289,9 +289,16 @@ def apply_raw_batch(
     tripling per-event cost).
 
     Job structure (nothing is ever cached, no block-store traffic):
-      1. ONE header-only kernel pass (no text gather, no UTF-8 scan) ->
-         per-file lineage AND touched COW buckets in the same aggregation,
-      2. full decode (pruned to the scoped columns, scope filter in-kernel
+      1. per-file lineage = a PURE-JVM aggregation over the pruned
+         (file_seq, log_pos) columns — no payload read, no Python;
+      2. touched COW buckets = one header-only kernel pass that derives
+         each frame's bucket IN-KERNEL (vectorized CRC32, the same hash
+         ``bucket_expr`` compiles to JVM-side) and emits only per-batch
+         DISTINCT bucket ids — at most ``table.buckets`` rows per Arrow
+         batch cross into the JVM (the r4 shape shipped one (file_seq,
+         log_pos, conv_id) row PER FRAME here and spent ~70% of the raw
+         path's wall time on it);
+      3. full decode (pruned to the scoped columns, scope filter in-kernel
          on the scope byte) -> salted partial LWW -> one-pass MERGE.
     ``persist_source=True`` restores caching for callers whose input is an
     expensive computed plan.
@@ -306,11 +313,10 @@ def apply_raw_batch(
     from binlogsub_spark.codec import (
         DECODED_SCHEMA,
         decode_raw_events,
-        raw_frame_stats_df,
+        raw_touched_buckets_df,
         scope_codes_for,
         split_deadletter,
     )
-    from binlogsub_spark.lake.table import bucket_expr
 
     cfg = cfg or EngineConfig()
     if persist_source:
@@ -319,23 +325,22 @@ def apply_raw_batch(
     try:
         codes = scope_codes_for(cfg.scope.db_regex, cfg.scope.table_regex)
         per_file = (
-            raw_frame_stats_df(raw_events, scope_codes=codes)
+            raw_events.select("file_seq", "log_pos")
             .groupBy("file_seq")
             .agg(
                 F.max("log_pos").alias("max_log_pos"),
                 F.count("*").alias("events"),
-                F.collect_set(
-                    F.when(
-                        F.col("conv_id").isNotNull(),
-                        bucket_expr("conv_id", table.buckets),
-                    )
-                ).alias("buckets"),
             )
             .collect()
         )
         total = sum(r["events"] for r in per_file)
         touched = sorted(
-            {b for r in per_file for b in r["buckets"] if b is not None}
+            r["bucket"]
+            for r in raw_touched_buckets_df(
+                raw_events, table.buckets, scope_codes=codes
+            )
+            .distinct()
+            .collect()
         )
         watermark = None
         if per_file:
@@ -494,29 +499,43 @@ def mysql_decoded_to_upserts(decoded: DataFrame, cfg: EngineConfig) -> DataFrame
     over a content-free batch instead of crashing on resolution. Present
     payload columns keep their NATIVE decoded type (a numeric/decimal/
     timestamp payload column must not silently become string); only the
-    backfill NULLs need an explicit type."""
+    backfill NULLs need an explicit type. Backfilled columns carry a
+    ``null_backfill`` field-metadata marker so the sink's schema union
+    knows the (arbitrary) backfill type is NOT a claim about the column's
+    real type — a genuine int-data-for-string-column conflict still
+    raises, while an all-NULL epoch backfill casts to the table's type."""
     have = set(decoded.columns)
+    BACKFILL_META = {"null_backfill": True}
 
     def _c(name: str, cast: str):
         # cast ONLY the backfill branch: F.lit(None) is untyped and needs
         # one; a decoded column already carries its correct type
         return F.col(name) if name in have else F.lit(None).cast(cast)
 
+    def _a(expr, name: str):
+        # mark backfilled columns so _union_schema treats their type as
+        # a placeholder, never a conflict
+        return (
+            expr.alias(name)
+            if name in have
+            else expr.alias(name, metadata=BACKFILL_META)
+        )
+
     is_del = F.col("op") == OP_DELETE
     payload = [
-        F.when(~is_del, _c(c, "string")).alias(c)
+        _a(F.when(~is_del, _c(c, "string")), c)
         for c in cfg.scope.column_names
         if c not in ("conv_id", "turn_idx", "ts")
     ]
     if "gtid" in have:  # optional transaction lineage column
         payload.append(F.col("gtid"))
     return decoded.select(
-        _c("conv_id", "string").alias("conv_id"),
-        _c("turn_idx", "int").alias("turn_idx"),
+        _a(_c("conv_id", "string"), "conv_id"),
+        _a(_c("turn_idx", "int"), "turn_idx"),
         *payload,
-        _c("ts", "timestamp").alias("ts"),
+        _a(_c("ts", "timestamp"), "ts"),
         F.col("op").alias("_op"),
-        _c("ts", "timestamp").alias("_ts"),
+        _a(_c("ts", "timestamp"), "_ts"),
         F.col("file_seq").alias("_file_seq"),
         F.col("log_pos").alias("_log_pos"),
     )

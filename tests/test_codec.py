@@ -265,3 +265,77 @@ def test_fixed_to_string_preserves_embedded_nuls():
         s.decode() for s in np.char.rstrip(fixed, b"\x00").tolist()
     ]
     assert out == legacy
+
+
+def test_crc32_of_fixed_matches_zlib_and_spark(spark):
+    """The in-kernel bucket hash must agree BIT-FOR-BIT with zlib.crc32
+    and with the JVM expression bucket_expr compiles to — the raw path's
+    touched-bucket superset is only sound if every key lands in the same
+    bucket on both sides."""
+    import zlib
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from binlogsub_spark.codec import crc32_of_fixed
+    from binlogsub_spark.lake.table import bucket_expr
+
+    keys = [
+        "", "a", "conv_00000001", "conv_99999999", "x" * 24,
+        "Ünïcode-kéy", "k\t key", "0123456789abcdefghijklmn",
+    ] + [f"conv_{i:08d}" for i in range(50)]
+    raw = [k.encode("utf-8") for k in keys]
+    assert all(len(b) <= 24 for b in raw)
+    mat = np.zeros((len(raw), 24), dtype=np.uint8)
+    lengths = np.zeros(len(raw), dtype=np.int64)
+    for i, b in enumerate(raw):
+        mat[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+        lengths[i] = len(b)
+    got = crc32_of_fixed(mat, lengths)
+    exp = np.array([zlib.crc32(b) & 0xFFFFFFFF for b in raw], dtype=np.uint32)
+    np.testing.assert_array_equal(got, exp)
+
+    # and against the Spark-side bucket expression, for several moduli
+    df = spark.createDataFrame([(k,) for k in keys], "conv_id string")
+    for buckets in (8, 32, 61):
+        jvm = {
+            r["conv_id"]: r["b"]
+            for r in df.select(
+                "conv_id", bucket_expr("conv_id", buckets).alias("b")
+            ).collect()
+        }
+        for k, crc in zip(keys, got):
+            assert jvm[k] == int(crc % buckets), (k, buckets)
+
+
+def test_raw_touched_buckets_superset(spark):
+    """raw_touched_buckets_df must cover every bucket the decoded frames'
+    keys hash to (superset invariant of the one-pass merge)."""
+    from pyspark.sql import functions as F
+
+    from binlogsub_spark.codec import (
+        decode_raw_events,
+        raw_touched_buckets_df,
+        scope_codes_for,
+    )
+    from binlogsub_spark.lake.table import bucket_expr
+    from binlogsub_spark.sources.generator import GeneratorParams, generate_binlog
+    from tests.test_raw_pipeline import _raw
+
+    ev = generate_binlog(spark, GeneratorParams(n_events=3000, dup_tail=0))
+    raw = _raw(spark, ev)
+    codes = scope_codes_for("^test$", "^transcripts$")
+    touched = {
+        r["bucket"]
+        for r in raw_touched_buckets_df(raw, 16, scope_codes=codes)
+        .distinct()
+        .collect()
+    }
+    needed = {
+        r["b"]
+        for r in decode_raw_events(raw, columns=["conv_id"], scope_codes=codes)
+        .select(bucket_expr("conv_id", 16).alias("b"))
+        .distinct()
+        .collect()
+    }
+    assert needed <= touched, (sorted(needed), sorted(touched))

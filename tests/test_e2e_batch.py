@@ -442,13 +442,23 @@ def test_mysql_epoch_backfill_keeps_column_type(spark, tmp_path):
     table.merge(partial_lww_reduce(full), batch_id=1,
                 touched_buckets=list(range(4)))
     assert dict(table.read().dtypes)["score"] == "double"
-    # epoch-2 batch: `score` decoded absent -> backfilled as STRING null
+    # epoch-2 batch: `score` decoded absent -> backfilled as STRING null,
+    # carrying the pipeline's null_backfill marker (the schema union keeps
+    # the table's type for marked placeholders; an UNMARKED string-for-
+    # double batch is a genuine conflict and raises — see
+    # test_schema_type_conflict_raises)
+    from pyspark.sql import functions as F
+
     degraded = spark.createDataFrame(
         [("c2", 0, None, "y", "I", "2024-01-02 00:00:00", 0, 20)],
         "conv_id string, turn_idx int, score string, text string, _op string, "
         "_ts string, _file_seq int, _log_pos long",
-    ).selectExpr("conv_id", "turn_idx", "score", "text", "_op",
-                 "cast(_ts as timestamp) _ts", "_file_seq", "_log_pos")
+    ).select(
+        "conv_id", "turn_idx",
+        F.col("score").alias("score", metadata={"null_backfill": True}),
+        "text", "_op",
+        F.col("_ts").cast("timestamp").alias("_ts"), "_file_seq", "_log_pos",
+    )
     table.merge(partial_lww_reduce(degraded), batch_id=2,
                 touched_buckets=list(range(4)))
     assert dict(table.read().dtypes)["score"] == "double"  # type survived
