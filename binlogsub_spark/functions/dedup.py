@@ -598,6 +598,7 @@ def dedup_clusters(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 50,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs -> per-document
     cluster assignment: cluster_id = min document id reachable through the
@@ -611,27 +612,39 @@ def dedup_clusters(
     Scale design: iterative min-label propagation — per round one
     equi-join (edges x labels) + one min-aggregate, converging in
     O(component diameter) rounds (duplicate clusters are shallow: near-dup
-    graphs are dense cliques, diameter 2-3). Each round is
-    localCheckpoint(eager)-materialized to keep the plan/lineage flat
-    (iterative DataFrame plans otherwise grow exponentially). No driver
-    loops over rows; the driver only runs the convergence counter."""
+    graphs are dense cliques, diameter 2-3). Each round MUST materialize
+    (iterative DataFrame plans otherwise grow exponentially); by default
+    that is localCheckpoint (fast, executor-local — fine in local mode
+    and for jobs that can simply rerun on executor loss). Pass
+    ``checkpoint_dir`` (HDFS/S3/shared storage) on a real cluster to make
+    each round a RELIABLE checkpoint instead, so a lost executor cannot
+    strand the iteration state. No driver loops over rows; the driver
+    only runs the convergence counter."""
+    spark = df.sparkSession
+
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _materialize(d: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return d.checkpoint(eager=True)  # reliable storage
+        return d.localCheckpoint(eager=True)
+
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    edges = (
+    edges = _materialize(
         edges.unionByName(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
+        ).distinct()
     )
     labels = df.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
-    labels = labels.localCheckpoint(eager=True)
+    labels = _materialize(labels)
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        new_labels = _materialize(
             labels.join(nbr, labels.id == nbr.src, "left")
             .select(
                 "id",
@@ -639,7 +652,6 @@ def dedup_clusters(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")

@@ -11,6 +11,8 @@ decoded columns runs immediately after the Arrow decode — before shuffle.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
@@ -93,6 +95,7 @@ def apply_batch(
     batch_id: int,
     cfg: EngineConfig | None = None,
     persist_source: bool = False,
+    stage_timings: dict | None = None,
 ) -> dict:
     """One micro-batch: returns metrics incl. applied/skipped accounting
     (T2-T4 — the reference checkpoints before each row,
@@ -106,13 +109,21 @@ def apply_batch(
     job: exactly one full scan of the batch, zero block-store traffic).
     ``persist_source=True`` is for callers whose input is an EXPENSIVE
     computed plan (e.g. an in-flight encode), where recomputing it even
-    twice (pruned + full) would dominate."""
+    twice (pruned + full) would dominate.
+
+    ``stage_timings`` (a mutable dict) receives wall seconds of the two
+    jobs — ``lineage_sec`` (the pruned per-file aggregation + its driver
+    collect barrier) and ``merge_sec`` (the one-pass MERGE write) — so
+    scaling runs can attribute parallel-efficiency loss to a stage."""
+    import time as _time
+
     cfg = cfg or EngineConfig()
     from pyspark import StorageLevel
 
     if persist_source:
         events.persist(StorageLevel.MEMORY_AND_DISK)
     try:
+        _t0 = _time.time()
         # per-file_seq offset frontier + counts (the per-partition lineage
         # of the north rule) — pruned projection, never the payload columns.
         # The same pass hashes the merge key to its COW bucket: the union of
@@ -145,6 +156,7 @@ def apply_batch(
             top = max(per_file, key=lambda r: (r["file_seq"], r["max_log_pos"]))
             watermark = {"file_seq": top["file_seq"], "log_pos": top["max_log_pos"]}
 
+        _t1 = _time.time()
         upserts = prepare_upserts(events, cfg)
         partials = partial_lww_reduce(upserts, salt=cfg.skew_salt)
         res = table.merge(
@@ -154,6 +166,9 @@ def apply_batch(
             pre_reduced=True,
             touched_buckets=touched,
         )
+        if stage_timings is not None:
+            stage_timings["lineage_sec"] = round(_t1 - _t0, 3)
+            stage_timings["merge_sec"] = round(_time.time() - _t1, 3)
     finally:
         if persist_source:
             events.unpersist(blocking=False)
@@ -202,6 +217,7 @@ def run_stream(
     max_files_per_trigger: int = 4,
     available_now: bool = True,
     source_schema: T.StructType | None = None,
+    liveness=None,
 ):
     """Structured Streaming over the binlog event table.
 
@@ -211,10 +227,35 @@ def run_stream(
     exactly-once-effective contract the reference lacks
     (/root/reference/process.cc:178-183 can silently skip to live head; we
     never lose events, we only skip duplicates and count them).
+
+    ``liveness``: a :class:`~binlogsub_spark.liveness.LivenessConfig` (the
+    monitor is auto-wired with a Hadoop-FS probe of ``source_path`` and a
+    ``_heartbeats`` log next to the table) or a pre-built
+    :class:`~binlogsub_spark.liveness.SourceLivenessMonitor` — the T7
+    mysql_ping analog: empty batches past the idle interval probe the
+    source; repeated probe failure fails the query so the supervisor
+    restarts from checkpoint (see liveness.py).
     """
     cfg = cfg or EngineConfig()
     if source_schema is None:
         source_schema = spark.read.parquet(source_path).schema
+
+    monitor = None
+    if liveness is not None:
+        from binlogsub_spark.liveness import (
+            LivenessConfig,
+            SourceLivenessMonitor,
+            hadoop_fs_probe,
+        )
+
+        if isinstance(liveness, LivenessConfig):
+            monitor = SourceLivenessMonitor(
+                probe=lambda: hadoop_fs_probe(spark, source_path),
+                cfg=liveness,
+                heartbeat_dir=os.path.join(table.path, "_heartbeats"),
+            )
+        else:
+            monitor = liveness
 
     reader = (
         spark.readStream.schema(source_schema)
@@ -223,7 +264,9 @@ def run_stream(
     )
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        apply_batch(table, batch_df, batch_id, cfg)
+        m = apply_batch(table, batch_df, batch_id, cfg)
+        if monitor is not None:
+            monitor.on_batch(batch_id, m["events"])
 
     writer = reader.writeStream.foreachBatch(_apply).option(
         "checkpointLocation", checkpoint_dir

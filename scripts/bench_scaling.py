@@ -36,17 +36,24 @@ spark = get_spark(app_name=f"scaling-{{cpus}}", master=f"local[{{cpus}}]",
 # identical pre-materialized input for every configuration
 events = spark.read.parquet(src)
 events.count()  # warm the scan/page cache out of the timed section
-best, m = None, None
-for rep in range(2 if cpus <= 2 else 3):  # best-of-N: noisy sandbox host
+best, m, reps, best_stages = None, None, [], None
+for rep in range(3):  # best-of-3 for EVERY config: unequal rep counts
+    # would under-warm one side of the ratio
     tmp = tempfile.mkdtemp(prefix="scal_")
     table = LakeTable(spark, os.path.join(tmp, "tbl"), buckets=64)
+    stages = {{}}
     t0 = time.time()
-    m = apply_batch(table, events, batch_id=1, cfg=EngineConfig())
+    m = apply_batch(table, events, batch_id=1, cfg=EngineConfig(),
+                    stage_timings=stages)
     dt = time.time() - t0
     shutil.rmtree(tmp, ignore_errors=True)
-    best = dt if best is None else min(best, dt)
+    reps.append(round(dt, 2))
+    if best is None or dt < best:
+        best, best_stages = dt, stages
 print(json.dumps({{"cpus": cpus, "sec": best, "events": m["events"],
-                  "eps": m["events"] / best}}))
+                  "eps": m["events"] / best, "reps": reps,
+                  "lineage_sec": best_stages["lineage_sec"],
+                  "merge_sec": best_stages["merge_sec"]}}))
 spark.stop()
 """
 
@@ -61,7 +68,10 @@ def run_child(cpus: int, n_events: int, src: str) -> dict:
 
 
 def main() -> int:
-    n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
+    # 8M default: at 4M the high-parallelism wall is ~14 s, where ~1-2 s of
+    # fixed per-job scheduler/commit cost is >10% of wall and reads as fake
+    # scaling loss; 8M keeps the constant share under ~5% at every config
+    n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000_000
     low = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     high = int(sys.argv[3]) if len(sys.argv) > 3 else 32
 
@@ -91,9 +101,11 @@ def main() -> int:
     # (VERDICT r3 #9) rather than asserting it.
     configs = list(dict.fromkeys([low, high, 8, 16, 32]))
     best: dict[int, dict] = {}
+    sessions: list[dict] = []  # every raw measurement, kept for the report
     for _round in range(2):
         for c in configs:
             r = run_child(c, n_events, src)
+            sessions.append({"round": _round, **r})
             if c not in best or r["eps"] > best[c]["eps"]:
                 best[c] = r
     lo, hi = best[low], best[high]
@@ -112,13 +124,28 @@ timed section = scope filter -> salted partial LWW reduce -> final reduce
 -> copy-on-write bucket MERGE commit; input scan warmed into page cache;
 best-of-3 per config (the sandbox host has noisy neighbors).
 
-| config | wall sec | change-events/sec applied |
-|---|---|---|
-| local[{low}]  (N)  | {lo['sec']:.1f} | {lo['eps']:,.0f} |
-| local[{high}] (4N) | {hi['sec']:.1f} | {hi['eps']:,.0f} |
+| config | wall sec | change-events/sec applied | lineage-job sec | merge-job sec |
+|---|---|---|---|---|
+| local[{low}]  (N)  | {lo['sec']:.1f} | {lo['eps']:,.0f} | {lo['lineage_sec']:.1f} | {lo['merge_sec']:.1f} |
+| local[{high}] (4N) | {hi['sec']:.1f} | {hi['eps']:,.0f} | {hi['lineage_sec']:.1f} | {hi['merge_sec']:.1f} |
 
 **Scaling efficiency (throughput_{high} / throughput_{low}) / {high // low}
 = {eff:.3f}** (requirement: >= 0.8).
+
+Stage attribution (the r4 open question — which stage loses parallel
+efficiency): the one-pass merge is two jobs, the column-pruned per-file
+lineage aggregation (ends in a driver collect barrier) and the MERGE
+write. Their per-config splits above show the stage-level speedups
+directly: lineage {lo['lineage_sec']:.1f} -> {hi['lineage_sec']:.1f} s
+({(lo['lineage_sec'] / max(hi['lineage_sec'], 1e-9)):.1f}x), merge
+{lo['merge_sec']:.1f} -> {hi['merge_sec']:.1f} s
+({(lo['merge_sec'] / max(hi['merge_sec'], 1e-9)):.1f}x on {high // low}x
+cores).
+
+Per-session raw measurements (interleaved config order inside each
+round; every rep wall time, nothing discarded):
+
+{chr(10).join(f"| round {s['round']} | local[{s['cpus']}] | reps {s['reps']} | best {s['sec']:.1f}s | lineage {s['lineage_sec']:.1f}s | merge {s['merge_sec']:.1f}s |" for s in sessions)}
 
 Supplementary ladder, same input — reported for honesty (the 8->16->32
 steps locate this host's shared-DRAM bandwidth knee):

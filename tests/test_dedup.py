@@ -87,3 +87,36 @@ def test_dedup_clusters_long_chain_converges(spark):
     rows = dedup_clusters(docs, pairs).collect()
     assert {r["cluster_id"] for r in rows} == {0}
     assert all(r["cluster_size"] == n for r in rows)
+
+
+def test_dedup_clusters_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir switches the per-round materialization to reliable
+    storage (cluster-safe); results identical to the localCheckpoint
+    default."""
+    from pyspark.sql import functions as F
+
+    from binlogsub_spark.functions.dedup import dedup_clusters
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(10)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1, 0.9), (1, 2, 0.9), (5, 6, 0.8)],
+        "id_a long, id_b long, jaccard double",
+    )
+    base = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["is_canonical"])
+        for r in dedup_clusters(docs, pairs).collect()
+    }
+    ckpt = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["is_canonical"])
+        for r in dedup_clusters(
+            docs, pairs, checkpoint_dir=str(tmp_path / "ckpt")
+        ).collect()
+    }
+    assert base == ckpt
+    assert ckpt[0] == (0, 3, True) and ckpt[2] == (0, 3, False)
+    assert ckpt[6] == (5, 2, False) and ckpt[9] == (9, 1, True)
+    import os
+
+    assert os.listdir(str(tmp_path / "ckpt"))  # rounds really hit storage
