@@ -1109,6 +1109,46 @@ def q_cdc_raw_decode(spark, sf):
     )
 
 
+def q_cdc_debezium_decode(spark, sf):
+    """Debezium-JSON source (sources/debezium.py), DuckDB-oracled as an
+    identity round-trip: events-table-derived change records are encoded
+    into the connector's published JSON envelope (MicroTimestamp images,
+    ts_ms milliseconds, mysql-bin.NNNNNN file names, op c/u/d) and decoded
+    back through from_json; the oracle is the same flat derivation with
+    server_ts truncated to the millisecond ts_ms carries."""
+    from binlogsub_spark.sources.debezium import (
+        decode_debezium,
+        envelope_to_debezium_json,
+    )
+
+    flat = _events_as_flat_changes(spark, sf)
+    img = F.struct("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    envelope = flat.select(
+        "file_seq", "log_pos", "server_ts", "op", "db_name", "table_name",
+        "schema_version",
+        F.when(F.col("op") == "D", img).alias("before"),
+        F.when(F.col("op") != "D", img).alias("after"),
+    )
+    decoded = decode_debezium(envelope_to_debezium_json(envelope))
+    key_img = F.when(F.col("op") == "D", F.col("before")).otherwise(
+        F.col("after")
+    )
+    return decoded.select(
+        F.col("file_seq").cast("long").alias("file_seq"),
+        "log_pos",
+        "server_ts",
+        "op",
+        "db_name",
+        "table_name",
+        key_img["conv_id"].alias("conv_id"),
+        key_img["turn_idx"].cast("long").alias("turn_idx"),
+        key_img["role"].alias("role"),
+        key_img["text"].alias("text"),
+        key_img["tool"].alias("tool"),
+        key_img["ts"].alias("ts"),
+    )
+
+
 def q_cdc_deadletter_demux(spark, sf):
     """S5 error/OK demux with reason codes, DuckDB-oracled: deterministic
     corruptions (truncation -> short_frame, op byte 9 -> bad_enum) route to
@@ -1166,6 +1206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_mysql_rows_v1": q_cdc_mysql_rows_v1,
         "cdc_mysql_type_matrix": q_cdc_mysql_type_matrix,
         "cdc_raw_decode": q_cdc_raw_decode,
+        "cdc_debezium_decode": q_cdc_debezium_decode,
         "cdc_changelog_scan": q_cdc_changelog_scan,
         "cdc_deadletter_demux": q_cdc_deadletter_demux,
         "dedup_exact": q_dedup_exact,
@@ -1377,6 +1418,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(file_seq AS BIGINT) AS file_seq, log_pos, server_ts, op,
                    db_name, table_name,
                    CAST(schema_version AS BIGINT) AS schema_version,
+                   conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+                   role, text, tool, ts
+            FROM ({_FLAT_CHANGES_SQL})
+        """,
+        "cdc_debezium_decode": f"""
+            SELECT CAST(file_seq AS BIGINT) AS file_seq, log_pos,
+                   make_timestamp(epoch_ms(server_ts) * 1000) AS server_ts,
+                   op, db_name, table_name,
                    conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
                    role, text, tool, ts
             FROM ({_FLAT_CHANGES_SQL})

@@ -278,6 +278,40 @@ def run_bench(sf_dir: str, cpus: int, ingest_events: int | None = None) -> dict:
             chg_sec = dt if chg_sec is None else min(chg_sec, dt)
         timings["cdc_changelog_scan"] = round(chg_sec, 3)
 
+        # Debezium-JSON ingest: the public envelope most deployments
+        # actually land (JSON-lines landing zone). Timed = from_json
+        # parse (JVM, inside the scan; Catalyst prunes the parsed schema
+        # per job) -> envelope -> identical apply path. Quarter-sized
+        # input: JSON is ~5x wider per event than parquet, so this keeps
+        # fixture size bounded while still compute-bound at 32 threads.
+        from binlogsub_spark.sources.debezium import decode_debezium
+        from binlogsub_spark.sources.generator import write_debezium_json
+
+        dbz_src = os.path.join(tmp, "dbzlog")
+        dbz_events = max(ingest_events // 4, 50_000)
+        write_debezium_json(
+            spark, dbz_src,
+            GeneratorParams(
+                n_events=dbz_events, n_convs=params.n_convs,
+                dup_tail=dbz_events // 40, events_per_file=65536,
+            ),
+            n_files=max(cpus, 16),
+        )
+        dbz = spark.read.text(dbz_src)
+        dbz.count()
+        dbz_sec, dbz_total = None, 0
+        for rep in range(2):
+            dtable = LakeTable(
+                spark, os.path.join(tmp, f"dbztbl{rep}"), buckets=max(cpus, 16)
+            )
+            t0 = time.time()
+            dm = apply_batch(
+                dtable, decode_debezium(dbz), batch_id=1, cfg=EngineConfig()
+            )
+            dt = time.time() - t0
+            dbz_sec = dt if dbz_sec is None else min(dbz_sec, dt)
+            dbz_total = dm["events"]
+        timings["cdc_debezium_ingest"] = round(dbz_sec, 3)
 
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -379,6 +413,7 @@ def run_bench(sf_dir: str, cpus: int, ingest_events: int | None = None) -> dict:
         "raw_vs_structured_per_event": round(
             per_event_raw / per_event_structured, 3
         ),
+        "debezium_ingest_events_per_sec": round(dbz_total / dbz_sec, 1),
         "mysql_row_decode_rows_per_sec": round(mysql_rows / mysql_sec, 1),
         "mysql_file_ingest_events_per_sec": round(n_file_rows / file_sec, 1),
         "mysql_file_ingest_rep_secs": file_reps,

@@ -48,6 +48,12 @@ def main(argv: list[str] | None = None) -> int:
         "log_pos, payload) where payload is a full binlog event frame "
         "(19-byte header, TABLE_MAP control frames, rows events v2, CRC32)",
     )
+    ap.add_argument(
+        "--debezium", action="store_true",
+        help="Debezium-JSON mode: source is a JSON-lines landing zone of "
+        "connector value documents (before/after/source/op); parsed with "
+        "from_json into the engine envelope per micro-batch",
+    )
     ap.add_argument("--merge-strategy", choices=["jvm", "arrow_local"], default="jvm")
     ap.add_argument(
         "--gtid", action="store_true",
@@ -90,6 +96,10 @@ def main(argv: list[str] | None = None) -> int:
             from binlogsub_spark.sources.generator import write_raw_binlog
 
             write_raw_binlog(spark, args.source, params, n_files=16)
+        elif args.debezium:
+            from binlogsub_spark.sources.generator import write_debezium_json
+
+            write_debezium_json(spark, args.source, params, n_files=16)
         else:
             write_binlog(spark, args.source, params, n_files=16)
 
@@ -115,6 +125,8 @@ def main(argv: list[str] | None = None) -> int:
 
         if args.dead_letter:
             extra_kw["dead_letter_path"] = args.dead_letter
+    elif args.debezium:
+        from binlogsub_spark.pipeline import run_stream_debezium as runner
     q = runner(
         spark,
         args.source,

@@ -47,7 +47,14 @@ def get_spark(
         # events, local[32])
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "262144")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # 24g: in local mode the driver JVM IS all N executors, so heap
+        # must be sized for N concurrent task threads. 8g measurably
+        # GC-starved >=4 threads (local[4] merge of 8.2M events: 29.7s at
+        # 8g vs 27.9s at 24g, and 1->4 scaling efficiency 0.77 vs 0.85 —
+        # same window, interleaved). On a real cluster this knob is
+        # per-executor memory and scales with executor count by
+        # construction.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")

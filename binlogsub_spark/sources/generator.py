@@ -205,6 +205,30 @@ def write_raw_binlog(
     )
 
 
+def write_debezium_json(
+    spark: SparkSession,
+    path: str,
+    params: GeneratorParams = GeneratorParams(),
+    n_files: int = 16,
+) -> None:
+    """Materialize the stream as a Debezium-JSON landing zone: JSON-lines
+    text files (one connector value document per line), range-partitioned
+    by arrival order like the other writers — the file shape a
+    Debezium->Kafka->file-sink pipeline lands."""
+    from binlogsub_spark.sources.debezium import envelope_to_debezium_json
+
+    df = envelope_to_debezium_json(
+        generate_binlog(spark, params), passthrough=("delivery_seq",)
+    )
+    (
+        df.repartitionByRange(n_files, "delivery_seq")
+        .sortWithinPartitions("delivery_seq")
+        .select("value")
+        .write.mode("overwrite")
+        .text(path)
+    )
+
+
 # ------------------------------------------------- genuine MySQL variant --
 ROLE_ENUM = ("user", "assistant", "tool")
 TOOL_ENUM = tuple(f"tool_{i}" for i in range(5))
