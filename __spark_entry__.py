@@ -1149,6 +1149,86 @@ def q_cdc_debezium_decode(spark, sf):
     )
 
 
+def q_cdc_canal_decode(spark, sf):
+    """Canal-JSON (flatMessage) source (sources/canal.py), DuckDB-oracled
+    as an identity round-trip: the same change derivation is encoded into
+    canal's published flat shape (string-serialized data/old arrays, es
+    epoch-ms, type INSERT/UPDATE/DELETE, out-of-band framing — the flat
+    format carries no binlog position) and decoded back through
+    from_json + posexplode; the oracle is the flat derivation with
+    server_ts truncated to the millisecond `es` carries."""
+    from binlogsub_spark.sources.canal import (
+        decode_canal,
+        envelope_to_canal_json,
+    )
+
+    flat = _events_as_flat_changes(spark, sf)
+    img = F.struct("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    envelope = flat.select(
+        "file_seq", "log_pos", "server_ts", "op", "db_name", "table_name",
+        "schema_version",
+        F.when(F.col("op") == "D", img).alias("before"),
+        F.when(F.col("op") != "D", img).alias("after"),
+    )
+    decoded = decode_canal(envelope_to_canal_json(envelope))
+    key_img = F.when(F.col("op") == "D", F.col("before")).otherwise(
+        F.col("after")
+    )
+    return decoded.select(
+        F.col("file_seq").cast("long").alias("file_seq"),
+        "log_pos",
+        "server_ts",
+        "op",
+        "db_name",
+        "table_name",
+        key_img["conv_id"].alias("conv_id"),
+        key_img["turn_idx"].cast("long").alias("turn_idx"),
+        key_img["role"].alias("role"),
+        key_img["text"].alias("text"),
+        key_img["tool"].alias("tool"),
+        key_img["ts"].alias("ts"),
+    )
+
+
+def q_cdc_maxwell_decode(spark, sf):
+    """Maxwell-JSON source (sources/maxwell.py), DuckDB-oracled as an
+    identity round-trip: encoded into maxwell's published shape (typed
+    values, epoch-SECOND ts, in-band position "mysql-bin.NNNNNN:pos",
+    partial old image) and decoded back; the oracle truncates server_ts
+    to the second maxwell's ts carries."""
+    from binlogsub_spark.sources.maxwell import (
+        decode_maxwell,
+        envelope_to_maxwell_json,
+    )
+
+    flat = _events_as_flat_changes(spark, sf)
+    img = F.struct("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    envelope = flat.select(
+        "file_seq", "log_pos", "server_ts", "op", "db_name", "table_name",
+        "schema_version",
+        F.when(F.col("op") == "D", img).alias("before"),
+        F.when(F.col("op") != "D", img).alias("after"),
+    )
+    decoded = decode_maxwell(envelope_to_maxwell_json(envelope))
+    key_img = F.when(F.col("op") == "D", F.col("before")).otherwise(
+        F.col("after")
+    )
+    return decoded.select(
+        F.col("file_seq").cast("long").alias("file_seq"),
+        "log_pos",
+        "server_ts",
+        "op",
+        "db_name",
+        "table_name",
+        key_img["conv_id"].alias("conv_id"),
+        key_img["turn_idx"].cast("long").alias("turn_idx"),
+        key_img["role"].alias("role"),
+        key_img["text"].alias("text"),
+        key_img["tool"].alias("tool"),
+        key_img["ts"].alias("ts"),
+    )
+
+
 def q_cdc_deadletter_demux(spark, sf):
     """S5 error/OK demux with reason codes, DuckDB-oracled: deterministic
     corruptions (truncation -> short_frame, op byte 9 -> bad_enum) route to
@@ -1207,6 +1287,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_mysql_type_matrix": q_cdc_mysql_type_matrix,
         "cdc_raw_decode": q_cdc_raw_decode,
         "cdc_debezium_decode": q_cdc_debezium_decode,
+        "cdc_canal_decode": q_cdc_canal_decode,
+        "cdc_maxwell_decode": q_cdc_maxwell_decode,
         "cdc_changelog_scan": q_cdc_changelog_scan,
         "cdc_deadletter_demux": q_cdc_deadletter_demux,
         "dedup_exact": q_dedup_exact,
@@ -1425,6 +1507,24 @@ def oracle_sql() -> dict[str, str]:
         "cdc_debezium_decode": f"""
             SELECT CAST(file_seq AS BIGINT) AS file_seq, log_pos,
                    make_timestamp(epoch_ms(server_ts) * 1000) AS server_ts,
+                   op, db_name, table_name,
+                   conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+                   role, text, tool, ts
+            FROM ({_FLAT_CHANGES_SQL})
+        """,
+        # canal's es is epoch-ms like debezium's ts_ms -> same truncation
+        "cdc_canal_decode": f"""
+            SELECT CAST(file_seq AS BIGINT) AS file_seq, log_pos,
+                   make_timestamp(epoch_ms(server_ts) * 1000) AS server_ts,
+                   op, db_name, table_name,
+                   conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+                   role, text, tool, ts
+            FROM ({_FLAT_CHANGES_SQL})
+        """,
+        # maxwell's ts is epoch-SECONDS -> second truncation
+        "cdc_maxwell_decode": f"""
+            SELECT CAST(file_seq AS BIGINT) AS file_seq, log_pos,
+                   date_trunc('second', server_ts) AS server_ts,
                    op, db_name, table_name,
                    conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
                    role, text, tool, ts

@@ -276,26 +276,27 @@ def run_stream(
     return writer.start()
 
 
-def run_stream_debezium(
+def run_stream_jsonlines(
     spark: SparkSession,
     source_path: str,
     table: LakeTable,
     checkpoint_dir: str,
+    decoder,
     cfg: EngineConfig | None = None,
     max_files_per_trigger: int = 4,
     available_now: bool = True,
     schema_version: int = 2,
     liveness=None,
 ):
-    """Structured Streaming over a Debezium-JSON landing zone (JSON-lines
-    files, one connector value document per line — the file-sink shape of
-    a Debezium->Kafka->files pipeline). Each micro-batch parses with
-    ``from_json`` (JVM codegen, inside the scan stage) into the engine
-    envelope and goes through the identical apply path, so exactly-once,
-    schema evolution and LWW semantics are byte-identical to the native
-    paths. See sources/debezium.py for format notes."""
-    from binlogsub_spark.sources.debezium import decode_debezium
-
+    """Structured Streaming over a JSON-lines CDC landing zone (one
+    connector value document per line — the file-sink shape of a
+    connector->Kafka->files pipeline). ``decoder`` is any
+    ``(df, value_col, schema_version) -> ENVELOPE_SCHEMA`` function
+    (sources/debezium.py, sources/canal.py, sources/maxwell.py). Each
+    micro-batch parses with ``from_json`` (JVM codegen, inside the scan
+    stage) into the engine envelope and goes through the identical apply
+    path, so exactly-once, schema evolution and LWW semantics are
+    byte-identical to the native paths."""
     cfg = cfg or EngineConfig()
 
     monitor = None
@@ -321,7 +322,7 @@ def run_stream_debezium(
     )
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        envelope = decode_debezium(
+        envelope = decoder(
             batch_df, value_col="value", schema_version=schema_version
         )
         m = apply_batch(table, envelope, batch_id, cfg)
@@ -334,6 +335,48 @@ def run_stream_debezium(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_stream_debezium(spark, source_path, table, checkpoint_dir, **kw):
+    """Debezium-JSON landing zone -> lake table (see sources/debezium.py)."""
+    from binlogsub_spark.sources.debezium import decode_debezium
+
+    return run_stream_jsonlines(
+        spark, source_path, table, checkpoint_dir, decode_debezium, **kw
+    )
+
+
+def run_stream_canal(
+    spark, source_path, table, checkpoint_dir, framed: bool = True, **kw
+):
+    """Canal flatMessage landing zone -> lake table (see sources/canal.py).
+
+    ``framed=True`` expects ``write_canal_json``'s
+    ``file_seq\\tlog_pos\\tjson`` lines (the flat format carries no binlog
+    position, so the zone carries the Kafka-offset analog out-of-band);
+    ``framed=False`` consumes bare flatMessage lines, ordering on the
+    message id."""
+    from binlogsub_spark.sources.canal import decode_canal
+    from binlogsub_spark.sources.generator import read_canal_lines
+
+    def _decode(df, value_col="value", schema_version=2):
+        framed_df = read_canal_lines(df) if framed else df
+        return decode_canal(
+            framed_df, value_col=value_col, schema_version=schema_version
+        )
+
+    return run_stream_jsonlines(
+        spark, source_path, table, checkpoint_dir, _decode, **kw
+    )
+
+
+def run_stream_maxwell(spark, source_path, table, checkpoint_dir, **kw):
+    """Maxwell-JSON landing zone -> lake table (see sources/maxwell.py)."""
+    from binlogsub_spark.sources.maxwell import decode_maxwell
+
+    return run_stream_jsonlines(
+        spark, source_path, table, checkpoint_dir, decode_maxwell, **kw
+    )
 
 
 def flat_to_upserts(

@@ -54,6 +54,18 @@ def main(argv: list[str] | None = None) -> int:
         "connector value documents (before/after/source/op); parsed with "
         "from_json into the engine envelope per micro-batch",
     )
+    ap.add_argument(
+        "--canal", action="store_true",
+        help="Canal flatMessage mode: JSON-lines landing zone of "
+        "file_seq\\tlog_pos\\tflatMessage lines (data/old string arrays, "
+        "type INSERT/UPDATE/DELETE); parsed with from_json per micro-batch",
+    )
+    ap.add_argument(
+        "--maxwell", action="store_true",
+        help="Maxwell-JSON mode: JSON-lines landing zone of maxwell "
+        "records (data/old, type insert/update/delete, in-band "
+        "position 'mysql-bin.NNNNNN:pos'); parsed with from_json",
+    )
     ap.add_argument("--merge-strategy", choices=["jvm", "arrow_local"], default="jvm")
     ap.add_argument(
         "--gtid", action="store_true",
@@ -100,6 +112,14 @@ def main(argv: list[str] | None = None) -> int:
             from binlogsub_spark.sources.generator import write_debezium_json
 
             write_debezium_json(spark, args.source, params, n_files=16)
+        elif args.canal:
+            from binlogsub_spark.sources.generator import write_canal_json
+
+            write_canal_json(spark, args.source, params, n_files=16)
+        elif args.maxwell:
+            from binlogsub_spark.sources.generator import write_maxwell_json
+
+            write_maxwell_json(spark, args.source, params, n_files=16)
         else:
             write_binlog(spark, args.source, params, n_files=16)
 
@@ -127,6 +147,10 @@ def main(argv: list[str] | None = None) -> int:
             extra_kw["dead_letter_path"] = args.dead_letter
     elif args.debezium:
         from binlogsub_spark.pipeline import run_stream_debezium as runner
+    elif args.canal:
+        from binlogsub_spark.pipeline import run_stream_canal as runner
+    elif args.maxwell:
+        from binlogsub_spark.pipeline import run_stream_maxwell as runner
     q = runner(
         spark,
         args.source,

@@ -229,6 +229,77 @@ def write_debezium_json(
     )
 
 
+def write_canal_json(
+    spark: SparkSession,
+    path: str,
+    params: GeneratorParams = GeneratorParams(),
+    n_files: int = 16,
+) -> None:
+    """Materialize the stream as a Canal flatMessage landing zone. The
+    flat format carries no binlog position, so each line is prefixed with
+    the framing as ``file_seq<TAB>log_pos<TAB>json`` — the file-sink
+    analog of Kafka's (partition, offset); ``read_canal_lines`` splits it
+    back. (A plain ``value``-only zone also decodes — ordering then falls
+    back to the message id; see sources/canal.py.)"""
+    from pyspark.sql import functions as F
+
+    from binlogsub_spark.sources.canal import envelope_to_canal_json
+
+    df = envelope_to_canal_json(
+        generate_binlog(spark, params), passthrough=("delivery_seq",)
+    )
+    (
+        df.repartitionByRange(n_files, "delivery_seq")
+        .sortWithinPartitions("delivery_seq")
+        .select(
+            F.concat_ws(
+                "\t",
+                F.col("file_seq").cast("string"),
+                F.col("log_pos").cast("string"),
+                F.col("value"),
+            ).alias("value")
+        )
+        .write.mode("overwrite")
+        .text(path)
+    )
+
+
+def read_canal_lines(df):
+    """framed canal lines (file_seq\\tlog_pos\\tjson) -> (file_seq,
+    log_pos, value) columns for decode_canal."""
+    from pyspark.sql import functions as F
+
+    split = F.split(F.col("value"), "\t", 3)
+    return df.select(
+        split[0].cast("int").alias("file_seq"),
+        split[1].cast("long").alias("log_pos"),
+        split[2].alias("value"),
+    )
+
+
+def write_maxwell_json(
+    spark: SparkSession,
+    path: str,
+    params: GeneratorParams = GeneratorParams(),
+    n_files: int = 16,
+) -> None:
+    """Materialize the stream as a Maxwell-JSON landing zone (one record
+    per line; ``position`` carries binlog file:pos in-band, so no framing
+    prefix is needed)."""
+    from binlogsub_spark.sources.maxwell import envelope_to_maxwell_json
+
+    df = envelope_to_maxwell_json(
+        generate_binlog(spark, params), passthrough=("delivery_seq",)
+    )
+    (
+        df.repartitionByRange(n_files, "delivery_seq")
+        .sortWithinPartitions("delivery_seq")
+        .select("value")
+        .write.mode("overwrite")
+        .text(path)
+    )
+
+
 # ------------------------------------------------- genuine MySQL variant --
 ROLE_ENUM = ("user", "assistant", "tool")
 TOOL_ENUM = tuple(f"tool_{i}" for i in range(5))
