@@ -994,6 +994,44 @@ def q_cdc_pipeline_e2e(spark, sf):
     )
 
 
+def q_cdc_rebucket_e2e(spark, sf):
+    """Online bucket rescaling mid-stream, value-checked by DuckDB: the
+    first half of the change stream MERGEs into an 8-bucket table, the
+    table rescales 8 -> 32 (the k-aligned, exchange-free rewrite:
+    pmod(h,32) determines pmod(h,8), so the remap is partition-local),
+    the second half MERGEs against the new modulus. The rescale must be
+    INVISIBLE to the result: the oracle is the plain LWW replay of the
+    whole stream, identical to cdc_pipeline_e2e's."""
+    from binlogsub_spark.config import EngineConfig
+    from binlogsub_spark.lake.table import LakeTable
+    from binlogsub_spark.pipeline import apply_batch
+
+    flat = _events_as_flat_changes(spark, sf)
+    img = F.struct("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    envelope = flat.select(
+        "file_seq", "log_pos", "server_ts", "op", "db_name", "table_name",
+        "schema_version",
+        F.when(F.col("op") == "D", img).alias("before"),
+        F.when(F.col("op") != "D", img).alias("after"),
+    )
+    tmp = tempfile.mkdtemp(prefix="binlogsub_rebucket_")
+    table = LakeTable(spark, os.path.join(tmp, "tbl"), buckets=8)
+    half = F.col("log_pos") % 2 == 0
+    apply_batch(
+        table, envelope.where(half), batch_id=1, cfg=EngineConfig(),
+        persist_source=True,
+    )
+    table.rebucket(32)
+    apply_batch(
+        table, envelope.where(~half), batch_id=2, cfg=EngineConfig(),
+        persist_source=True,
+    )
+    return table.read().select(
+        "conv_id", F.col("turn_idx").cast("long").alias("turn_idx"),
+        "role", "text", "tool", "ts",
+    )
+
+
 def q_cdc_mysql_pipeline_e2e(spark, sf):
     """The ENTIRE reference-equivalent path over genuine MySQL frames,
     value-checked by DuckDB: events-table-derived changes are packed into
@@ -1281,6 +1319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_asof_join": q_cdc_asof_join,
         "cdc_props_json": q_cdc_props_json,
         "cdc_pipeline_e2e": q_cdc_pipeline_e2e,
+        "cdc_rebucket_e2e": q_cdc_rebucket_e2e,
         "cdc_mysql_pipeline_e2e": q_cdc_mysql_pipeline_e2e,
         "cdc_mysql_row_decode": q_cdc_mysql_row_decode,
         "cdc_mysql_rows_v1": q_cdc_mysql_rows_v1,
@@ -1531,6 +1570,19 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_FLAT_CHANGES_SQL})
         """,
         "cdc_pipeline_e2e": f"""
+            WITH flat AS ({_FLAT_CHANGES_SQL}),
+            w AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY conv_id, turn_idx
+                ORDER BY ts DESC, file_seq DESC, log_pos DESC) AS rn
+              FROM flat
+            )
+            SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+                   role, text, tool, ts
+            FROM w WHERE rn = 1 AND op <> 'D'
+        """,
+        # the rescale is invisible: same LWW replay as cdc_pipeline_e2e
+        "cdc_rebucket_e2e": f"""
             WITH flat AS ({_FLAT_CHANGES_SQL}),
             w AS (
               SELECT *, row_number() OVER (

@@ -81,6 +81,13 @@ class LakeTable:
         self.manifest_dir = os.path.join(self.path, "_manifests")
         self.data_dir = os.path.join(self.path, "data")
         self.lineage_dir = os.path.join(self.path, "_lineage")
+        # The committed manifest is authoritative for the bucket count: a
+        # handle opened with a stale ctor arg (e.g. after rebucket()) would
+        # otherwise compute _bucket with the wrong modulus and strand rows
+        # in unregistered partitions.
+        snap = self.snapshot()
+        if snap is not None and snap.get("buckets"):
+            self.buckets = int(snap["buckets"])
 
     # ----------------------------------------------------------- snapshots
     def _current_pointer(self) -> str:
@@ -243,7 +250,9 @@ class LakeTable:
             raise ValueError(f"table {self.path} has no committed snapshot")
         schema = self._schema(snap)
         locs: dict[str, str | None] = snap["bucket_locations"]
-        want = set(range(self.buckets) if buckets is None else buckets)
+        # "all buckets" means the SNAPSHOT's bucket space, not the current
+        # handle's — time travel across a rebucket() reads the old layout.
+        want = set(int(b) for b in locs) if buckets is None else set(buckets)
         by_commit: dict[str, list[int]] = {}
         for b_str, commit in locs.items():
             b = int(b_str)
@@ -314,20 +323,35 @@ class LakeTable:
             )
         locs_to: dict = to_snap["bucket_locations"]
         locs_from: dict = from_snap["bucket_locations"] if from_snap else {}
-        changed = sorted(
-            int(b)
-            for b in set(locs_to) | set(locs_from)
-            if locs_to.get(b) != locs_from.get(b)
+        same_space = from_snap is None or from_snap.get("buckets") == to_snap.get(
+            "buckets"
         )
+        if same_space:
+            changed = sorted(
+                int(b)
+                for b in set(locs_to) | set(locs_from)
+                if locs_to.get(b) != locs_from.get(b)
+            )
+            from_changed = to_changed = changed
+        else:
+            # a rebucket() sits between the snapshots: bucket ids are not
+            # comparable across the two layouts, so location-diff pruning is
+            # impossible — diff the full live state of each side (correct,
+            # just unpruned; rebucket rewrote everything anyway)
+            from_changed = sorted(
+                int(b) for b, l in locs_from.items() if l is not None
+            )
+            to_changed = sorted(int(b) for b, l in locs_to.items() if l is not None)
+            changed = sorted(set(from_changed) | set(to_changed))
         # a manifest can outlive its data files (vacuum keeps the last N
         # manifests but prunes commit dirs unreachable from them) — fail
         # with a clear driver-side error instead of a mid-job read failure
-        changed_set = set(changed)
+        from_set, to_set = set(from_changed), set(to_changed)
         need_commits = {
             loc
-            for locs in (locs_to, locs_from)
+            for locs, want in ((locs_to, to_set), (locs_from, from_set))
             for b, loc in locs.items()
-            if loc is not None and int(b) in changed_set
+            if loc is not None and int(b) in want
         }
         missing = sorted(
             c for c in need_commits
@@ -364,7 +388,7 @@ class LakeTable:
             )
             return renamed.where(F.col(f"{tag}__op") != "D").drop(f"{tag}__op")
 
-        new = _live(self.read_internal(buckets=changed, snapshot_id=to_id), "n")
+        new = _live(self.read_internal(buckets=to_changed, snapshot_id=to_id), "n")
         if from_snap is None:
             return new.select(
                 F.lit("I").alias("change_op"),
@@ -376,7 +400,9 @@ class LakeTable:
                 ],
             )
         old = _live(
-            self.read_internal(buckets=changed, snapshot_id=from_snap["snapshot_id"]),
+            self.read_internal(
+                buckets=from_changed, snapshot_id=from_snap["snapshot_id"]
+            ),
             "o",
         )
         j = old.join(new, MERGE_KEY, "full_outer")
@@ -730,3 +756,74 @@ class LakeTable:
         )
         self._commit(manifest)
         return {"snapshot_id": snapshot_id}
+
+    def rebucket(self, new_buckets: int) -> dict:
+        """Online bucket-count rescale — the operational gap a day-1 bucket
+        choice leaves at 100 TB (a table bucketed for 1 TB has 100x-oversized
+        COW rewrite units after two years of growth). One full-table rewrite
+        into ``new_buckets`` CRC32 buckets, committed as a normal atomic
+        snapshot: readers never see a half-rescaled table, time travel to
+        pre-rescale snapshots still reads the old layout, and ingest resumes
+        against the new modulus (watermark/batch-id untouched, so
+        exactly-once replay semantics carry straight across).
+
+        Scale shape: when ``new_buckets`` is an integer multiple of the old
+        count (or vice versa), ``pmod(h, k*n) ≡ pmod(h, n) (mod n)`` means
+        every old bucket's rows land in exactly k new buckets (or k old
+        buckets coalesce into one) — the remap is PARTITION-LOCAL, so the
+        plan is scan -> project -> dynamic-partitioned write with NO
+        exchange (plan-asserted in tests). Any other ratio pays one
+        repartition. Prefer power-of-two steps in production.
+
+        The handle adopts the new count; handles opened later adopt it from
+        the manifest (``__init__``)."""
+        if new_buckets < 1:
+            raise ValueError(f"new_buckets must be >= 1, got {new_buckets}")
+        snap = self.snapshot()
+        if snap is None:
+            raise ValueError("rebucket() on a table with no snapshot")
+        old_buckets = self.buckets
+        if new_buckets == old_buckets:
+            return {"snapshot_id": snap["snapshot_id"], "rebucketed": False}
+        schema = self._schema(snap)
+        snapshot_id = snap["snapshot_id"] + 1
+        commit_rel = f"commit-{snapshot_id:08d}"
+        has_rows = any(v is not None for v in snap["bucket_locations"].values())
+        if has_rows:
+            df = self.read_internal().drop("_bucket").withColumn(
+                "_bucket", bucket_expr(MERGE_KEY[0], new_buckets)
+            )
+            aligned = new_buckets % old_buckets == 0 or old_buckets % new_buckets == 0
+            if not aligned:
+                df = df.repartition(new_buckets, "_bucket")
+            (
+                df.write.partitionBy("_bucket")
+                .mode("overwrite")
+                .parquet(os.path.join(self.data_dir, commit_rel))
+            )
+            written = {
+                int(d.split("=", 1)[1])
+                for d in os.listdir(os.path.join(self.data_dir, commit_rel))
+                if d.startswith("_bucket=")
+            }
+        else:
+            written = set()
+        manifest = dict(
+            snap,
+            snapshot_id=snapshot_id,
+            parent=snap["snapshot_id"],
+            buckets=new_buckets,
+            bucket_locations={
+                str(b): (commit_rel if b in written else None)
+                for b in range(new_buckets)
+            },
+            schema_json=json.dumps(schema.jsonValue()),
+            metrics={"rebucket": [old_buckets, new_buckets]},
+        )
+        self._commit(manifest)
+        self.buckets = new_buckets
+        return {
+            "snapshot_id": snapshot_id,
+            "rebucketed": True,
+            "buckets": new_buckets,
+        }
