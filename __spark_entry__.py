@@ -490,6 +490,68 @@ def q_text_fingerprint(spark, sf):
     )
 
 
+def q_text_pii_scrub(spark, sf):
+    """PII scrubbing (functions/text.py pii_features), DuckDB-oracled:
+    deterministic emails / IPv4s / phone runs / SSN-shaped ids are
+    injected into the documents text, then masked with typed tokens under
+    sequential count-then-replace semantics; the oracle replays the same
+    injection + regex cascade with RE2 (the patterns avoid every
+    Java-vs-RE2 divergence: no backreferences, no lookaround)."""
+    from binlogsub_spark.functions.text import pii_features
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" contact user"), did.cast("string"), F.lit("@example.com")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit(" ip 10.0."), (did % 256).cast("string"), F.lit(".7")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" call +1 555 01"),
+                F.lpad((did % 100).cast("string"), 2, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(did % 11 == 0, F.lit(" ssn 123-45-6789")).otherwise(F.lit("")),
+    )
+    feats = pii_features(injected)
+    return d.select(
+        "doc_id",
+        feats["pii_email"].cast("long").alias("pii_email"),
+        feats["pii_ssn"].cast("long").alias("pii_ssn"),
+        feats["pii_ipv4"].cast("long").alias("pii_ipv4"),
+        feats["pii_phone"].cast("long").alias("pii_phone"),
+        F.md5(feats["text_scrubbed"]).alias("scrub_fp"),
+    )
+
+
+def q_text_decontaminate(spark, sf):
+    """Benchmark decontamination (functions/dedup.py decontaminate),
+    DuckDB-oracled: corpus docs are flagged by word-5-gram overlap with an
+    'evaluation set' (the doc_id%17 subset); the eval shingle set is
+    BROADCAST so the corpus pays one shingle pass + a map-side semi-join.
+    The oracle replays the same shingling and overlap count in SQL."""
+    from binlogsub_spark.functions.dedup import decontaminate
+
+    d = _t(spark, sf, "documents")
+    ev = d.where(F.col("doc_id") % 17 == 0)
+    out = decontaminate(d, ev, n=5)
+    return out.select(
+        "doc_id",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.col("n_contaminated").cast("long").alias("n_contaminated"),
+        "contaminated",
+    )
+
+
 def q_corpus_clean(spark, sf):
     """The composed training-data pipeline (the reason the operator family
     exists): exact-dedup to keepers -> quality gate -> language filter ->
@@ -1346,6 +1408,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_score": q_text_quality_score,
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
+        "text_pii_scrub": q_text_pii_scrub,
+        "text_decontaminate": q_text_decontaminate,
         "corpus_clean": q_corpus_clean,
         "multimodal_metadata": q_multimodal_metadata,
         "multimodal_resize": q_multimodal_resize,
@@ -1919,6 +1983,83 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_fingerprint": f"""
             SELECT doc_id, md5({_NORM}) AS fp FROM documents
+        """,
+        # the exact PII_RULES cascade (text.py): count on the progressively
+        # masked text, then replace — order email -> ssn -> ipv4 -> phone
+        "text_pii_scrub": r"""
+            WITH inj AS (
+              SELECT doc_id, text
+                || CASE WHEN doc_id % 3 = 0 THEN ' contact user'
+                     || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+                || CASE WHEN doc_id % 5 = 0 THEN ' ip 10.0.'
+                     || CAST(doc_id % 256 AS VARCHAR) || '.7' ELSE '' END
+                || CASE WHEN doc_id % 7 = 0 THEN ' call +1 555 01'
+                     || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ELSE '' END
+                || CASE WHEN doc_id % 11 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+                AS t0
+              FROM documents
+            ),
+            s1 AS (
+              SELECT doc_id,
+                len(regexp_extract_all(t0,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS pii_email,
+                regexp_replace(t0,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                  '<EMAIL>', 'g') AS t1
+              FROM inj
+            ),
+            s2 AS (
+              SELECT doc_id, pii_email,
+                len(regexp_extract_all(t1,
+                  '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS pii_ssn,
+                regexp_replace(t1, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b',
+                  '<ID>', 'g') AS t2
+              FROM s1
+            ),
+            s3 AS (
+              SELECT doc_id, pii_email, pii_ssn,
+                len(regexp_extract_all(t2,
+                  '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS pii_ipv4,
+                regexp_replace(t2, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b',
+                  '<IP>', 'g') AS t3
+              FROM s2
+            ),
+            s4 AS (
+              SELECT doc_id, pii_email, pii_ssn, pii_ipv4,
+                len(regexp_extract_all(t3,
+                  '\+?[0-9][0-9()\- ]{7,}[0-9]')) AS pii_phone,
+                regexp_replace(t3, '\+?[0-9][0-9()\- ]{7,}[0-9]',
+                  '<PHONE>', 'g') AS t4
+              FROM s3
+            )
+            SELECT doc_id, pii_email, pii_ssn, pii_ipv4, pii_phone,
+                   md5(t4) AS scrub_fp
+            FROM s4
+        """,
+        # word-5-gram overlap against the doc_id%17 'eval set'
+        "text_decontaminate": f"""
+            WITH docs AS (
+              SELECT doc_id, str_split({_NORM}, ' ') AS words FROM documents
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(words[i:i+4], ' ') AS shingle
+              FROM docs, UNNEST(range(1, len(words) - 3)) AS t(i)
+              WHERE len(words) >= 5
+            ),
+            ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 17 = 0),
+            per AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+            hits AS (
+              SELECT s.doc_id, COUNT(*) AS n_cont
+              FROM sh s JOIN ev USING (shingle) GROUP BY s.doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(per.n_shingles, 0) AS n_shingles,
+                   COALESCE(hits.n_cont, 0) AS n_contaminated,
+                   COALESCE(hits.n_cont, 0) > 0 AS contaminated
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN per USING (doc_id)
+            LEFT JOIN hits USING (doc_id)
         """,
         "corpus_clean": f"""
             WITH fp AS (SELECT doc_id, md5({_NORM}) AS fp FROM documents),

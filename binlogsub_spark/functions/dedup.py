@@ -140,6 +140,53 @@ def jaccard_pairs(
         sh.unpersist(blocking=False)
 
 
+# ------------------------------------------------------- decontamination
+def decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: per corpus document, how many of its
+    word n-gram shingles also occur in an evaluation set (the standard
+    n-gram-overlap contamination test run before training on web data).
+    Returns (id, n_shingles, n_contaminated, contaminated:boolean) for
+    EVERY corpus doc (docs shorter than n words have 0 shingles and are
+    clean by definition).
+
+    Scale shape: eval sets are tiny next to a 100 TB corpus, so the
+    distinct eval-shingle set is BROADCAST and the corpus pays exactly one
+    shingle pass + one map-side hash-semi-join + a per-doc count — no
+    corpus-side wide shuffle beyond the per-doc aggregation. Set
+    ``broadcast_eval=False`` only if the eval side genuinely cannot fit
+    an executor (then it's a plain shuffled join on the shingle key)."""
+    ev = shingle_df(eval_df, text_col, id_col, n).select("shingle").distinct()
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    cg = shingle_df(corpus, text_col, id_col, n)
+    per_doc = cg.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    hits = (
+        cg.join(ev, "shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    all_docs = corpus.select(id_col).distinct()
+    return (
+        all_docs.join(per_doc, id_col, "left")
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_shingles", F.lit(0)).cast("int").alias("n_shingles"),
+            F.coalesce("n_contaminated", F.lit(0))
+            .cast("int")
+            .alias("n_contaminated"),
+            (F.coalesce("n_contaminated", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 # --------------------------------------------------------- portable hash
 # 2^61 - 1 (Mersenne): (h1 + i*h2) mod P stays exactly inside int64 in any
 # engine, so the md5-based hash family is reproducible by the SQL oracle.

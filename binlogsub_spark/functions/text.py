@@ -115,3 +115,36 @@ def fingerprint(col: Column) -> Column:
     """Document fingerprint: md5 of the normalized text (the rolling-hash
     analog, but order-exact and engine-portable)."""
     return F.md5(normalize_text(col))
+
+
+# ------------------------------------------------------------- PII scrub
+# Applied IN ORDER — the order is part of the contract (the SSN shape is
+# also a valid phone shape, so IDs must mask before phones; masked tokens
+# contain no digits, so later rules never re-match earlier replacements).
+# Patterns avoid backreferences/lookaround so Java regex (Spark) and RE2
+# (DuckDB oracle) agree byte-for-byte.
+PII_RULES: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<ID>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9()\- ]{7,}[0-9]", "<PHONE>"),
+]
+
+
+def pii_features(col: Column) -> dict[str, Column]:
+    """PII scrubbing for training-data pipelines: masks emails, SSN-shaped
+    ids, IPv4 addresses and phone-number runs with typed tokens and counts
+    each category. Counts are taken on the PROGRESSIVELY-masked text
+    (sequential semantics — deterministic and engine-portable), so a string
+    counted as an email is never also counted as a phone.
+
+    Pure JVM column expressions (nested regexp_replace; whole-stage
+    codegen) — at 100 TB this runs inside the scan stage, no shuffle,
+    no Python."""
+    out: dict[str, Column] = {}
+    cur = col
+    for name, pat, token in PII_RULES:
+        out[f"pii_{name}"] = _count_matches(cur, pat).cast("int")
+        cur = F.regexp_replace(cur, pat, token)
+    out["text_scrubbed"] = cur
+    return out

@@ -404,3 +404,78 @@ def test_resize_media_same_container_reencode(spark):
     assert (out[2]["new_width"], out[2]["new_height"]) == (128, 38)
     assert out[2]["new_n_bytes"] == 54 + (3 * 128) * 38  # 384 % 4 == 0
     assert out[1]["new_n_bytes"] is None
+
+
+def test_pii_scrub_sequential_semantics(spark):
+    """Sequential count-then-replace: a masked email never re-counts as a
+    phone; the SSN shape masks as <ID> before the phone rule can eat it;
+    scrubbing is idempotent."""
+    from binlogsub_spark.functions.text import pii_features
+
+    rows = [
+        (0, "mail a.b+c@ex-ample.co.uk and 10.255.0.1 call +1 (555) 123-4567"),
+        (1, "ssn 123-45-6789 plain 42"),
+        (2, "no pii at all"),
+        (3, "two mails x@y.io z@w.dev"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    feats = pii_features(F.col("text"))
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            *(feats[f"pii_{n}"].alias(f"pii_{n}")
+              for n in ("email", "ssn", "ipv4", "phone")),
+            feats["text_scrubbed"].alias("scrubbed"),
+        ).collect()
+    }
+    assert (out[0]["pii_email"], out[0]["pii_ipv4"], out[0]["pii_phone"]) == (1, 1, 1)
+    assert out[0]["scrubbed"] == "mail <EMAIL> and <IP> call <PHONE>"
+    # the SSN masks as <ID>, NOT as a phone run
+    assert (out[1]["pii_ssn"], out[1]["pii_phone"]) == (1, 0)
+    assert out[1]["scrubbed"] == "ssn <ID> plain 42"
+    assert out[2]["scrubbed"] == "no pii at all"
+    assert out[3]["pii_email"] == 2
+
+    # idempotent: scrubbing the scrubbed text changes nothing
+    scrubbed = df.select(
+        "doc_id", feats["text_scrubbed"].alias("text")
+    )
+    feats2 = pii_features(F.col("text"))
+    again = scrubbed.select(
+        "doc_id",
+        (feats2["pii_email"] + feats2["pii_ssn"] + feats2["pii_ipv4"]
+         + feats2["pii_phone"]).alias("n"),
+        feats2["text_scrubbed"].alias("t2"),
+    ).collect()
+    for r0, r in zip(sorted(scrubbed.collect(), key=lambda x: x["doc_id"]),
+                     sorted(again, key=lambda x: x["doc_id"])):
+        assert r["n"] == 0 and r["t2"] == r0["text"]
+
+
+def test_decontaminate_counts_and_broadcast_plan(spark):
+    from binlogsub_spark.functions.dedup import decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),   # 2 shingles, both in eval
+            (1, "alpha beta gamma delta epsilon other"),  # 2 shingles, 1 in eval
+            (2, "one two three four five six seven"),     # 3 shingles, clean
+            (3, "too short"),                             # 0 shingles
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    out = decontaminate(corpus, eval_df, n=5)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[0]["n_shingles"] == 2 and rows[0]["n_contaminated"] == 2
+    assert rows[1]["n_shingles"] == 2 and rows[1]["n_contaminated"] == 1
+    assert rows[2]["n_contaminated"] == 0 and not rows[2]["contaminated"]
+    assert rows[3]["n_shingles"] == 0 and not rows[3]["contaminated"]
+    assert rows[0]["contaminated"] and rows[1]["contaminated"]
+    # the eval side must broadcast (map-side semi-join at corpus scale)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
