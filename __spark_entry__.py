@@ -151,6 +151,31 @@ def q_cdc_windowed_metrics(spark, sf):
     )
 
 
+def q_cdc_session_windows(spark, sf):
+    """Gap-based sessionization (streaming.py session_metrics's
+    F.session_window aggregation, run in batch form so DuckDB can replay
+    it): consecutive events of one user within the gap merge into a
+    session — an event exactly ON the end boundary (ts - prev == gap)
+    still MERGES (pinned empirically in the boundary-semantics test);
+    session_end = last event + gap. The oracle rebuilds sessions with
+    lag + a cumulative break counter (break when the gap is exceeded)."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "10 minutes"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max("event_id").alias("last_event_id"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "last_event_id",
+        )
+    )
+
+
 def q_cdc_asof_join(spark, sf):
     """The as-of join operator (operators/asof.py — union + one window
     pass, no pairwise join): each click gets the user's latest purchase
@@ -1378,6 +1403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_turn_ordering_window": q_cdc_turn_ordering_window,
         "cdc_applied_skipped_metrics": q_cdc_applied_skipped_metrics,
         "cdc_windowed_metrics": q_cdc_windowed_metrics,
+        "cdc_session_windows": q_cdc_session_windows,
         "cdc_asof_join": q_cdc_asof_join,
         "cdc_props_json": q_cdc_props_json,
         "cdc_pipeline_e2e": q_cdc_pipeline_e2e,
@@ -1580,6 +1606,27 @@ def oracle_sql() -> dict[str, str]:
                    max(event_id) AS last_event_id
             FROM events
             GROUP BY 1, 2, 3
+        """,
+        # Spark session_window semantics (empirically pinned in
+        # test_session_metrics_boundary_semantics): merge while
+        # ts - prev <= gap (boundary-equal MERGES); end = last event + gap
+        "cdc_session_windows": """
+            WITH o AS (SELECT user_id, ts, event_id FROM events),
+            m AS (
+              SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                              OR ts - lag(ts) OVER w > INTERVAL '10 minutes'
+                         THEN 1 ELSE 0 END AS brk
+              FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+              SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS sess
+              FROM m
+            )
+            SELECT user_id, min(ts) AS session_start,
+                   max(ts) + INTERVAL '10 minutes' AS session_end,
+                   count(*) AS n_events, max(event_id) AS last_event_id
+            FROM s GROUP BY user_id, sess
         """,
         "cdc_asof_join": """
             WITH u AS (

@@ -89,6 +89,12 @@ def main(argv: list[str] | None = None) -> int:
         "--changes-out", default=None,
         help="with --changes: parquet output path for the change feed",
     )
+    ap.add_argument(
+        "--rebucket", type=int, default=None, metavar="N",
+        help="maintenance mode: instead of ingesting, rescale --table to N "
+        "CRC32 buckets as one atomic snapshot (k-aligned counts are an "
+        "exchange-free partition-local remap). Prints a JSON summary.",
+    )
     args = ap.parse_args(argv)
 
     spark = get_spark(app_name="binlogsub-ingest", master=args.master)
@@ -96,8 +102,19 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(_run_changes(spark, args), default=str))
         spark.stop()
         return 0
+    if args.rebucket is not None:
+        # maintenance mode: bucket count adopted from the manifest, target
+        # from the flag; LakeTable.rebucket commits one atomic snapshot
+        table = LakeTable(spark, args.table, buckets=args.buckets)
+        r = table.rebucket(args.rebucket)
+        r["rows"] = table.read().count()
+        print(json.dumps(r, default=str))
+        spark.stop()
+        return 0
     if not args.source or not args.checkpoint:
-        ap.error("--source and --checkpoint are required unless --changes")
+        ap.error(
+            "--source and --checkpoint are required unless --changes/--rebucket"
+        )
     if args.generate:
         params = GeneratorParams(n_events=args.generate)
         if args.mysql:

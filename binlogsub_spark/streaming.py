@@ -63,6 +63,39 @@ def windowed_turn_metrics(
     )
 
 
+def session_metrics(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Gap-based sessionization of the change stream (F.session_window):
+    consecutive changes of one conversation within ``gap`` merge into
+    one session; the session's end is last-event-time + gap. An event
+    landing exactly ON the end boundary MERGES into the session (Spark's
+    boundary-inclusive semantics, pinned empirically in
+    test_session_metrics_boundary_semantics). Streaming-native: with the
+    watermark, sessions finalize once event time passes end + watermark;
+    identical results on a batch frame (how the oracle checks it).
+
+    Scale: session_window is a built-in JVM aggregation — one shuffle on
+    the session key, mergeable partial state, no Python."""
+    base = _image_cols(events).withWatermark("server_ts", watermark)
+    return (
+        base.groupBy(F.session_window("server_ts", gap), "conv_id")
+        .agg(
+            F.count("*").alias("n_changes"),
+            F.max("turn_idx").alias("max_turn_idx"),
+        )
+        .select(
+            "conv_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_changes",
+            "max_turn_idx",
+        )
+    )
+
+
 PROGRESS_SCHEMA = T.StructType(
     [
         T.StructField("conv_id", T.StringType()),

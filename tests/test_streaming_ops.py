@@ -118,3 +118,94 @@ def test_conversation_progress_state_across_batches(spark, tmp_path):
         assert got["n_deletes"] == row["n_deletes"], conv
         assert got["max_turn_idx"] == row["max_turn_idx"], conv
         assert pd.Timestamp(got["last_ts"]) == pd.Timestamp(row["last_ts"]), conv
+
+
+def test_session_metrics_stream_equals_batch(spark, tmp_path):
+    """Gap sessionization: streaming (session_window + watermark, complete
+    mode) lands the identical session set as the batch computation, and
+    sessions actually split (more sessions than conversations)."""
+    from binlogsub_spark.streaming import session_metrics
+
+    src = str(tmp_path / "binlog")
+    write_binlog(spark, src, PARAMS, n_files=6)
+
+    batch = session_metrics(
+        spark.read.parquet(src), gap="5 minutes", watermark="10 hours"
+    )
+    expected = {
+        (r["conv_id"], r["session_start"]): (
+            r["session_end"], r["n_changes"], r["max_turn_idx"]
+        )
+        for r in batch.collect()
+    }
+    n_convs = len({k[0] for k in expected})
+    assert len(expected) > n_convs  # the gap genuinely splits sessions
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = (
+        session_metrics(stream, gap="5 minutes", watermark="10 hours")
+        .writeStream.format("memory")
+        .queryName("sessmetrics")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["conv_id"], r["session_start"]): (
+            r["session_end"], r["n_changes"], r["max_turn_idx"]
+        )
+        for r in spark.sql("SELECT * FROM sessmetrics").collect()
+    }
+    assert got == expected
+
+
+def test_session_metrics_boundary_semantics(spark):
+    """Pins Spark's session_window boundary rule: an event exactly gap
+    after the previous one MERGES into the session (boundary-inclusive);
+    the end is last event + gap. The cdc_session_windows DuckDB oracle
+    mirrors exactly this rule — if Spark ever changes it, this fails
+    before the driver gate does."""
+    from datetime import datetime
+
+    from binlogsub_spark.streaming import session_metrics
+
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+
+    def ev(minute, second=0):
+        return (
+            1,
+            4,
+            datetime(2026, 1, 1, 12, minute, second),
+            "I",
+            {"conv_id": "c1", "turn_idx": 1, "role": "user",
+             "text": "x", "tool": None,
+             "ts": t0},
+            None,
+        )
+
+    df = spark.createDataFrame(
+        # 9:59 merges (within gap); 30 breaks (>gap after 9:59);
+        # 40 lands exactly ON 30's boundary -> MERGES (inclusive);
+        # 50:01 is 1s past 40's boundary -> new session
+        [ev(0), ev(9, 59), ev(30), ev(40), ev(50, 1)],
+        "file_seq int, log_pos long, server_ts timestamp, op string, "
+        "after struct<conv_id:string,turn_idx:int,role:string,text:string,"
+        "tool:string,ts:timestamp>, "
+        "before struct<conv_id:string,turn_idx:int,role:string,text:string,"
+        "tool:string,ts:timestamp>",
+    )
+    rows = sorted(
+        session_metrics(df, gap="10 minutes").collect(),
+        key=lambda r: r["session_start"],
+    )
+    assert len(rows) == 3
+    assert rows[0]["n_changes"] == 2  # 12:00 + 12:09:59
+    assert rows[0]["session_end"] == datetime(2026, 1, 1, 12, 19, 59)
+    assert rows[1]["n_changes"] == 2  # 12:30 + 12:40 (boundary merges)
+    assert rows[1]["session_end"] == datetime(2026, 1, 1, 12, 50, 0)
+    assert rows[2]["n_changes"] == 1
