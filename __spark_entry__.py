@@ -1386,6 +1386,156 @@ def q_cdc_deadletter_demux(spark, sf):
     )
 
 
+def q_cdc_incremental_view(spark, sf):
+    """Incremental materialized-view maintenance, value-checked by DuckDB:
+    the change stream MERGEs into the lake in two micro-batches, and
+    after EACH batch the per-conversation stats view refreshes — the first
+    refresh builds the view, the second advances it from the changelog
+    delta only (dirty groups recomputed, vanished groups tombstoned —
+    operators/ivm.py). The final view must equal a full GROUP BY over the
+    final LWW state, which is exactly what the oracle computes — equality
+    proves incremental == full recompute."""
+    from binlogsub_spark.config import EngineConfig
+    from binlogsub_spark.lake.table import LakeTable
+    from binlogsub_spark.operators.ivm import IncrementalView
+    from binlogsub_spark.pipeline import apply_batch
+
+    flat = _events_as_flat_changes(spark, sf)
+    img = F.struct("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    envelope = flat.select(
+        "file_seq", "log_pos", "server_ts", "op", "db_name", "table_name",
+        "schema_version",
+        F.when(F.col("op") == "D", img).alias("before"),
+        F.when(F.col("op") != "D", img).alias("after"),
+    )
+    tmp = tempfile.mkdtemp(prefix="binlogsub_ivm_")
+    table = LakeTable(spark, os.path.join(tmp, "tbl"), buckets=16)
+    view = IncrementalView(table, os.path.join(tmp, "view"))
+    for i in range(2):
+        apply_batch(
+            table, envelope.where(F.col("log_pos") % 2 == i), batch_id=i + 1,
+            cfg=EngineConfig(), persist_source=True,
+        )
+        view.refresh()
+    return view.read().select(
+        "conv_id", "n_turns", "max_turn_idx", "last_ts", "n_tool_turns",
+        "total_chars",
+    )
+
+
+def q_cdc_snapshot_bootstrap(spark, sf):
+    """Snapshot-then-stream cold start, value-checked by DuckDB: a
+    consistent read of the lake as of a mid-stream binlog position is
+    bulk-loaded with `bootstrap_from_snapshot` (rows stamped at the cut),
+    then the tail — INCLUDING an at-least-once overlap of the cut file —
+    MERGEs on top. The stamped-at-cut LWW argument says the result is
+    identical to replaying the whole binlog, so the oracle is the plain
+    full-replay LWW (same as cdc_pipeline_e2e's)."""
+    from binlogsub_spark.config import EngineConfig
+    from binlogsub_spark.lake.table import LakeTable
+    from binlogsub_spark.pipeline import apply_batch, bootstrap_from_snapshot
+
+    flat = _events_as_flat_changes(spark, sf)
+    img = F.struct("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    envelope = flat.select(
+        "file_seq", "log_pos", "server_ts", "op", "db_name", "table_name",
+        "schema_version",
+        F.when(F.col("op") == "D", img).alias("before"),
+        F.when(F.col("op") != "D", img).alias("after"),
+    ).persist()
+    cut_fs = int(envelope.agg(F.max("file_seq")).first()[0]) // 2
+    cut_lp = int(
+        envelope.where(F.col("file_seq") == cut_fs).agg(F.max("log_pos")).first()[0]
+    )
+    at_or_below = (F.col("file_seq") < cut_fs) | (
+        (F.col("file_seq") == cut_fs) & (F.col("log_pos") <= cut_lp)
+    )
+    tmp = tempfile.mkdtemp(prefix="binlogsub_boot_")
+    pre = LakeTable(spark, os.path.join(tmp, "pre"), buckets=16)
+    apply_batch(
+        pre, envelope.where(at_or_below), batch_id=1, cfg=EngineConfig(),
+        persist_source=True,
+    )
+    boot = LakeTable(spark, os.path.join(tmp, "boot"), buckets=16)
+    bootstrap_from_snapshot(boot, pre.read(), cut_fs, cut_lp)
+    # tail ⊇ everything above the cut, plus a redelivered overlap below it
+    tail = envelope.where(~at_or_below).unionByName(
+        envelope.where(F.col("file_seq") == cut_fs)
+    )
+    apply_batch(boot, tail, batch_id=0, cfg=EngineConfig(), persist_source=True)
+    envelope.unpersist(blocking=False)
+    return boot.read().select(
+        "conv_id", F.col("turn_idx").cast("long").alias("turn_idx"),
+        "role", "text", "tool", "ts",
+    )
+
+
+def q_cdc_multi_table_route(spark, sf):
+    """One-subscriber-many-tables fan-out, value-checked by DuckDB: the
+    envelope stream is routed by table_name into TWO lake tables in a
+    single persisted source pass (`apply_batch_multi`); the result is the
+    union of both tables' final states tagged by destination. The oracle
+    replays LWW per (dest, conv_id, turn_idx) slice."""
+    from binlogsub_spark.lake.table import LakeTable
+    from binlogsub_spark.pipeline import apply_batch_multi
+
+    flat = _events_as_flat_changes(spark, sf)
+    img = F.struct("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    dest = F.when(
+        F.col("log_pos") % 2 == 0, F.lit("transcripts")
+    ).otherwise(F.lit("transcripts_audit"))
+    envelope = flat.select(
+        "file_seq", "log_pos", "server_ts", "op", "db_name",
+        dest.alias("table_name"), "schema_version",
+        F.when(F.col("op") == "D", img).alias("before"),
+        F.when(F.col("op") != "D", img).alias("after"),
+    )
+    tmp = tempfile.mkdtemp(prefix="binlogsub_route_")
+    dests = {
+        "transcripts": LakeTable(spark, os.path.join(tmp, "t1"), buckets=16),
+        "transcripts_audit": LakeTable(spark, os.path.join(tmp, "t2"), buckets=16),
+    }
+    apply_batch_multi(dests, envelope, batch_id=1)
+    parts = [
+        dests[n].read().select(
+            F.lit(n).alias("dest"), "conv_id",
+            F.col("turn_idx").cast("long").alias("turn_idx"),
+            "role", "text", "tool", "ts",
+        )
+        for n in sorted(dests)
+    ]
+    return parts[0].unionByName(parts[1])
+
+
+def q_corpus_sample_mix(spark, sf):
+    """Deterministic stratified corpus sampling (training-data mixing
+    weights): keep en fully, half of de, a quarter of es, no fr, 1/8 of
+    everything else — membership is a pure md5-of-key function, so the
+    oracle replays the identical selection with integer math."""
+    from binlogsub_spark.functions.sampling import sample_mix
+
+    docs = _t(spark, sf, "documents")
+    out = sample_mix(
+        docs, "lang",
+        {"en": 1.0, "de": 0.5, "es": 0.25, "fr": 0.0},
+        key_col="doc_id", seed="mix1", default_fraction=0.125,
+    )
+    return out.select("doc_id", "lang", "source")
+
+
+def q_corpus_cap_per_source(spark, sf):
+    """Per-source quota cap (stop one crawl host dominating the mix): at
+    most 10 docs per source, chosen by deterministic hash order so the
+    kept subset is reproducible and the oracle can replay the exact
+    ROW_NUMBER ordering."""
+    from binlogsub_spark.functions.sampling import cap_per_group
+
+    docs = _t(spark, sf, "documents")
+    return cap_per_group(
+        docs, "source", max_rows=10, key_col="doc_id", seed="cap1"
+    ).select("doc_id", "source")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keyed LWW latest-state (the engine's core reduction) on
     sf0.001."""
@@ -1408,6 +1558,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_props_json": q_cdc_props_json,
         "cdc_pipeline_e2e": q_cdc_pipeline_e2e,
         "cdc_rebucket_e2e": q_cdc_rebucket_e2e,
+        "cdc_incremental_view": q_cdc_incremental_view,
+        "cdc_snapshot_bootstrap": q_cdc_snapshot_bootstrap,
+        "cdc_multi_table_route": q_cdc_multi_table_route,
         "cdc_mysql_pipeline_e2e": q_cdc_mysql_pipeline_e2e,
         "cdc_mysql_row_decode": q_cdc_mysql_row_decode,
         "cdc_mysql_rows_v1": q_cdc_mysql_rows_v1,
@@ -1437,6 +1590,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": q_text_pii_scrub,
         "text_decontaminate": q_text_decontaminate,
         "corpus_clean": q_corpus_clean,
+        "corpus_sample_mix": q_corpus_sample_mix,
+        "corpus_cap_per_source": q_corpus_cap_per_source,
         "multimodal_metadata": q_multimodal_metadata,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frame_sample": q_multimodal_frame_sample,
@@ -1716,6 +1871,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
                    role, text, tool, ts
             FROM w WHERE rn = 1 AND op <> 'D'
+        """,
+        # snapshot+tail converges to the full replay — same oracle as e2e
+        "cdc_snapshot_bootstrap": f"""
+            WITH flat AS ({_FLAT_CHANGES_SQL}),
+            w AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY conv_id, turn_idx
+                ORDER BY ts DESC, file_seq DESC, log_pos DESC) AS rn
+              FROM flat
+            )
+            SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+                   role, text, tool, ts
+            FROM w WHERE rn = 1 AND op <> 'D'
+        """,
+        # per-destination LWW replay of the routed slices
+        "cdc_multi_table_route": f"""
+            WITH flat AS ({_FLAT_CHANGES_SQL}),
+            tagged AS (
+              SELECT *, CASE WHEN log_pos % 2 = 0 THEN 'transcripts'
+                             ELSE 'transcripts_audit' END AS dest
+              FROM flat
+            ),
+            w AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY dest, conv_id, turn_idx
+                ORDER BY ts DESC, file_seq DESC, log_pos DESC) AS rn
+              FROM tagged
+            )
+            SELECT dest, conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+                   role, text, tool, ts
+            FROM w WHERE rn = 1 AND op <> 'D'
+        """,
+        # the incremental view must equal a full GROUP BY over the final
+        # LWW live state
+        "cdc_incremental_view": f"""
+            WITH flat AS ({_FLAT_CHANGES_SQL}),
+            w AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY conv_id, turn_idx
+                ORDER BY ts DESC, file_seq DESC, log_pos DESC) AS rn
+              FROM flat
+            ),
+            live AS (
+              SELECT conv_id, turn_idx, role, text, tool, ts
+              FROM w WHERE rn = 1 AND op <> 'D'
+            )
+            SELECT conv_id,
+                   COUNT(*) AS n_turns,
+                   CAST(MAX(turn_idx) AS INT) AS max_turn_idx,
+                   MAX(ts) AS last_ts,
+                   COUNT(tool) AS n_tool_turns,
+                   CAST(SUM(length(text)) AS BIGINT) AS total_chars
+            FROM live GROUP BY conv_id
         """,
         "cdc_changelog_scan": f"""
             WITH flat AS ({_FLAT_CHANGES_SQL}),
@@ -2146,6 +2354,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, fp, lang, n_tokens, quality_score FROM s
             WHERE quality_score >= 500 AND lang = 'en' AND n_tokens >= 10
+        """,
+        # membership = md5-of-key integer math, replayed exactly; the
+        # fractions are binary-exact floats so frac*1e6 has no rounding
+        "corpus_sample_mix": """
+            SELECT doc_id, lang, source FROM documents
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|mix1'),
+                                  1, 15))::BIGINT % 1000000
+                  < CAST((CASE lang WHEN 'en' THEN 1.0 WHEN 'de' THEN 0.5
+                                    WHEN 'es' THEN 0.25 WHEN 'fr' THEN 0.0
+                                    ELSE 0.125 END) * 1000000 AS BIGINT)
+        """,
+        "corpus_cap_per_source": """
+            WITH r AS (
+              SELECT doc_id, source, row_number() OVER (
+                PARTITION BY source
+                ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                          || '|cap1'), 1, 15))::BIGINT % 1000000, doc_id
+              ) AS rn
+              FROM documents
+            )
+            SELECT doc_id, source FROM r WHERE rn <= 10
         """,
         # the stub codec derives (width, height, feature) deterministically
         # from the sha256 digest bytes — so even the "decode" is oracle-able:

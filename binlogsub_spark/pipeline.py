@@ -208,6 +208,133 @@ def apply_batch(
     return metrics
 
 
+def bootstrap_from_snapshot(
+    table: LakeTable,
+    snapshot_df: DataFrame,
+    file_seq: int,
+    log_pos: int,
+    batch_id: int = -1,
+    ts_col: str = "ts",
+) -> dict:
+    """Debezium-style initial snapshot load: bulk-MERGE a consistent table
+    read taken at binlog position ``(file_seq, log_pos)``, then tail the
+    stream from that position (T3 extended to the cold-start case — the
+    reference can only start from the live head or replay everything,
+    /root/reference/process.cc:178-183).
+
+    Version stamping makes an at-least-once tail SAFE without any overlap
+    bookkeeping: each snapshot row is stamped ``(_ts = its own ts column,
+    _file_seq = cut, _log_pos = cut)``. A redelivered event at position
+    <= cut has an LWW tuple strictly below its key's snapshot stamp (its
+    effects are already IN the snapshot: the key's winner w at the cut has
+    tuple_e <= tuple_w <= (ts_w, cut)), so it loses; a genuinely new event
+    at position > cut beats the stamp exactly when it would have beaten w
+    in a full replay (same ts ordering; positions > cut > pos_w). The final
+    state is therefore identical to replaying the whole binlog — the
+    invariant the driver query proves against the full-replay oracle.
+
+    ``batch_id`` defaults to -1 so a subsequent stream whose checkpoint
+    epochs start at 0 is not mistaken for a replay.
+
+    ``snapshot_df``: user columns only (conv_id, turn_idx, payload..., ts)
+    — the shape ``LakeTable.read()`` returns, i.e. you can bootstrap one
+    table from another's read.
+    """
+    stamped = snapshot_df.select(
+        "*",
+        F.lit("U").alias("_op"),
+        F.col(ts_col).alias("_ts"),
+        F.lit(file_seq).cast("int").alias("_file_seq"),
+        F.lit(log_pos).cast("long").alias("_log_pos"),
+    )
+    return table.merge(
+        stamped,
+        batch_id=batch_id,
+        watermark={"file_seq": file_seq, "log_pos": log_pos},
+    )
+
+
+def apply_batch_multi(
+    tables: dict[str, LakeTable],
+    events: DataFrame,
+    batch_id: int,
+    cfgs: EngineConfig | dict[str, EngineConfig] | None = None,
+    persist_source: bool = True,
+) -> dict:
+    """Route one envelope micro-batch into N lake tables — the
+    one-subscriber-many-tables production shape (the reference dispatches
+    per-table inside its business callback, /root/reference/business.h;
+    here each destination gets the full exactly-once MERGE path).
+
+    ``tables`` maps ``table_name`` values to destinations. The batch is
+    persisted ONCE (MEMORY_AND_DISK) and each destination's lineage+merge
+    jobs run over the cached partitions — the source is scanned/decoded a
+    single time no matter how many tables it fans out to. ``cfgs`` is a
+    shared EngineConfig or a per-table dict; with ``cfgs=None`` each
+    destination gets the default config with its table scope pinned to
+    exactly its own name (db scope stays the default). The explicit
+    ``table_name == name`` filter runs regardless, so even a broad shared
+    scope cannot cross-route rows.
+    """
+    import re
+
+    from pyspark import StorageLevel
+
+    from binlogsub_spark.config import SchemaScope
+
+    if persist_source:
+        events.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        out = {}
+        for name, table in tables.items():
+            cfg = cfgs.get(name) if isinstance(cfgs, dict) else cfgs
+            if cfg is None:
+                cfg = EngineConfig(
+                    scope=SchemaScope(table_regex=f"^{re.escape(name)}$")
+                )
+            sub = events.where(F.col("table_name") == name)
+            out[name] = apply_batch(table, sub, batch_id, cfg)
+    finally:
+        if persist_source:
+            events.unpersist(blocking=False)
+    return out
+
+
+def run_stream_multi(
+    spark: SparkSession,
+    source_path: str,
+    tables: dict[str, LakeTable],
+    checkpoint_dir: str,
+    cfgs: EngineConfig | dict[str, EngineConfig] | None = None,
+    max_files_per_trigger: int = 4,
+    available_now: bool = True,
+    source_schema: T.StructType | None = None,
+):
+    """Structured Streaming fan-out: one envelope stream, N destination
+    tables, a single shared checkpoint. Each micro-batch is routed with
+    :func:`apply_batch_multi`; every destination's merge is idempotent on
+    the shared streaming batch_id, so a kill/restart replay is a committed
+    no-op on tables that already applied it — per-table exactly-once with
+    one checkpoint."""
+    if source_schema is None:
+        source_schema = spark.read.parquet(source_path).schema
+    reader = (
+        spark.readStream.schema(source_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_path)
+    )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        apply_batch_multi(tables, batch_df, batch_id, cfgs)
+
+    writer = reader.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_stream(
     spark: SparkSession,
     source_path: str,
