@@ -1507,6 +1507,99 @@ def q_cdc_multi_table_route(spark, sf):
     return parts[0].unionByName(parts[1])
 
 
+def q_cdc_outbound_debezium(spark, sf):
+    """OUTBOUND CDC round trip, value-checked by DuckDB: the change stream
+    MERGEs into a source lake table in two micro-batches; after each, the
+    changelog (`changes(include_before=True)`) is encoded to Debezium-JSON
+    value documents (`changes_to_debezium`), decoded back
+    (`decode_debezium`), and MERGE-applied to a mirror table — the
+    subscriber path a downstream team would run. The mirror's final state
+    must equal the full-replay LWW (same oracle as cdc_pipeline_e2e):
+    equality proves encode->decode->apply loses nothing, including
+    deletes (the d-record carries the tombstone's version stamp)."""
+    from binlogsub_spark.config import EngineConfig
+    from binlogsub_spark.lake.table import LakeTable
+    from binlogsub_spark.pipeline import apply_batch
+    from binlogsub_spark.sources.debezium import (
+        changes_to_debezium,
+        decode_debezium,
+    )
+
+    flat = _events_as_flat_changes(spark, sf)
+    img = F.struct("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    envelope = flat.select(
+        "file_seq", "log_pos", "server_ts", "op", "db_name", "table_name",
+        "schema_version",
+        F.when(F.col("op") == "D", img).alias("before"),
+        F.when(F.col("op") != "D", img).alias("after"),
+    )
+    eid = F.col("file_seq") * 4096 + (F.col("log_pos") - 4) / 128
+    tmp = tempfile.mkdtemp(prefix="binlogsub_outbound_")
+    src = LakeTable(spark, os.path.join(tmp, "src"), buckets=16)
+    cfg = EngineConfig()
+    apply_batch(src, envelope.where(eid % 3 != 0), 1, cfg, persist_source=True)
+    s1 = src.snapshot()["snapshot_id"]
+    apply_batch(src, envelope.where(eid % 3 == 0), 2, cfg, persist_source=True)
+    s2 = src.snapshot()["snapshot_id"]
+
+    mirror = LakeTable(spark, os.path.join(tmp, "mirror"), buckets=16)
+    for i, (lo, hi) in enumerate([(None, s1), (s1, s2)]):
+        feed = changes_to_debezium(
+            src.changes(lo, hi, include_before=True),
+            db_name="test", table_name="transcripts",
+        )
+        apply_batch(
+            mirror, decode_debezium(feed.select("value")), i + 1, cfg,
+            persist_source=True,
+        )
+    return mirror.read().select(
+        "conv_id", F.col("turn_idx").cast("long").alias("turn_idx"),
+        "role", "text", "tool", "ts",
+    )
+
+
+def q_corpus_span_dedup(spark, sf):
+    """Span-level (line) boilerplate removal, value-checked by DuckDB:
+    multi-line documents are constructed deterministically (every doc gets
+    a shared footer line, every third doc a shared newsletter line, and a
+    per-doc unique line), then `strip_duplicated_spans` removes every line
+    occurring in >= 50 distinct docs and reassembles the rest in order.
+    The oracle replays the identical explode/count/reassemble in SQL."""
+    from binlogsub_spark.functions.lines import strip_duplicated_spans
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit("\n"),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit("subscribe to our newsletter")
+            ).otherwise(
+                F.concat(F.lit("unique tail "), F.col("doc_id").cast("string"))
+            ),
+            F.lit("\nall rights reserved"),
+        ).alias("text"),
+    )
+    out = strip_duplicated_spans(docs, "text", "doc_id", min_docs=50)
+    return out.select("doc_id", "text", "n_spans_removed")
+
+
+def q_corpus_pack_sequences(spark, sf):
+    """Deterministic sequence packing, value-checked by DuckDB: documents
+    are hash-routed into 16 independent packing groups and greedily filled
+    into 4096-token shards (running-sum placement, docs longer than a
+    shard span shards). Shard ids/offsets are a pure function of
+    (doc_id, n_chars), so the oracle replays the exact window arithmetic."""
+    from binlogsub_spark.functions.packing import pack_sequences
+
+    docs = _t(spark, sf, "documents").select("doc_id", "n_chars")
+    out = pack_sequences(
+        docs, "n_chars", "doc_id", budget=4096, n_groups=16, seed="pk1"
+    )
+    return out.select(
+        "doc_id", "pack_group", "shard_id", "shard_offset", "n_shards_spanned"
+    )
+
+
 def q_corpus_sample_mix(spark, sf):
     """Deterministic stratified corpus sampling (training-data mixing
     weights): keep en fully, half of de, a quarter of es, no fr, 1/8 of
@@ -1561,6 +1654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_incremental_view": q_cdc_incremental_view,
         "cdc_snapshot_bootstrap": q_cdc_snapshot_bootstrap,
         "cdc_multi_table_route": q_cdc_multi_table_route,
+        "cdc_outbound_debezium": q_cdc_outbound_debezium,
         "cdc_mysql_pipeline_e2e": q_cdc_mysql_pipeline_e2e,
         "cdc_mysql_row_decode": q_cdc_mysql_row_decode,
         "cdc_mysql_rows_v1": q_cdc_mysql_rows_v1,
@@ -1592,6 +1686,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean": q_corpus_clean,
         "corpus_sample_mix": q_corpus_sample_mix,
         "corpus_cap_per_source": q_corpus_cap_per_source,
+        "corpus_span_dedup": q_corpus_span_dedup,
+        "corpus_pack_sequences": q_corpus_pack_sequences,
         "multimodal_metadata": q_multimodal_metadata,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frame_sample": q_multimodal_frame_sample,
@@ -1874,6 +1970,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         # snapshot+tail converges to the full replay — same oracle as e2e
         "cdc_snapshot_bootstrap": f"""
+            WITH flat AS ({_FLAT_CHANGES_SQL}),
+            w AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY conv_id, turn_idx
+                ORDER BY ts DESC, file_seq DESC, log_pos DESC) AS rn
+              FROM flat
+            )
+            SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+                   role, text, tool, ts
+            FROM w WHERE rn = 1 AND op <> 'D'
+        """,
+        # the outbound feed must replay to the full-replay LWW state —
+        # same oracle as cdc_pipeline_e2e
+        "cdc_outbound_debezium": f"""
             WITH flat AS ({_FLAT_CHANGES_SQL}),
             w AS (
               SELECT *, row_number() OVER (
@@ -2375,6 +2485,67 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             SELECT doc_id, source FROM r WHERE rn <= 10
+        """,
+        # explode -> distinct-doc frequency -> strip -> ordered reassembly,
+        # replayed span-for-span (string_agg ignores the NULLed boiler
+        # spans exactly like concat_ws skips them)
+        "corpus_span_dedup": """
+            WITH d AS (
+              SELECT doc_id,
+                     text || chr(10) ||
+                     CASE WHEN doc_id % 3 = 0
+                          THEN 'subscribe to our newsletter'
+                          ELSE 'unique tail ' || CAST(doc_id AS VARCHAR)
+                     END || chr(10) || 'all rights reserved' AS t
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id,
+                     unnest(string_split(t, chr(10))) AS span,
+                     generate_subscripts(string_split(t, chr(10)), 1) AS pos
+              FROM d
+            ),
+            f AS (
+              SELECT span FROM s GROUP BY span
+              HAVING count(DISTINCT doc_id) >= 50
+            ),
+            k AS (
+              SELECT s.doc_id, s.pos, s.span, f.span IS NOT NULL AS boiler
+              FROM s LEFT JOIN f ON s.span = f.span
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(CASE WHEN NOT boiler THEN span END,
+                                       chr(10) ORDER BY pos), '') AS text,
+                   CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS INT)
+                       AS n_spans_removed
+            FROM k GROUP BY doc_id
+        """,
+        # md5 group routing + running-sum greedy fill, replayed with the
+        # identical integer hash math and window frame
+        "corpus_pack_sequences": """
+            WITH g AS (
+              SELECT doc_id,
+                     greatest(CAST(n_chars AS BIGINT), 0) AS tok,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                          || '|pack|pk1'), 1, 15))::BIGINT % 16 AS INT)
+                         AS pack_group,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                          || '|order|pk1'), 1, 15))::BIGINT % 1000000 AS ord
+              FROM documents
+            ),
+            c AS (
+              SELECT *,
+                     CAST(sum(tok) OVER (
+                       PARTITION BY pack_group ORDER BY ord, doc_id
+                       ROWS UNBOUNDED PRECEDING) - tok AS BIGINT) AS cb
+              FROM g
+            )
+            SELECT doc_id, pack_group,
+                   cb // 4096 AS shard_id,
+                   cb % 4096 AS shard_offset,
+                   CAST(ceil((cb + greatest(tok, 1)) / 4096.0)
+                        - cb // 4096 AS INT) AS n_shards_spanned
+            FROM c
         """,
         # the stub codec derives (width, height, feature) deterministically
         # from the sha256 digest bytes — so even the "decode" is oracle-able:

@@ -290,7 +290,10 @@ class LakeTable:
         )
 
     def changes(
-        self, from_snapshot_id: int | None, to_snapshot_id: int | None = None
+        self,
+        from_snapshot_id: int | None,
+        to_snapshot_id: int | None = None,
+        include_before: bool = False,
     ) -> DataFrame:
         """Net change feed between two committed snapshots — the
         CONSUMPTION side of CDC (Iceberg's changelog scan re-realized over
@@ -298,6 +301,14 @@ class LakeTable:
         with ``change_op`` I (appeared), U (version advanced), D
         (disappeared/tombstoned); I/U carry the to-state's columns, D the
         from-state's.
+
+        ``include_before=True`` appends ``_before_<payload>`` columns with
+        the FROM-state image (NULL for I rows; for D rows they repeat the
+        emitted payload, which already IS the before image) — what an
+        outbound Debezium/audit consumer needs to reconstruct full
+        before/after envelopes (:func:`...sources.debezium.changes_to_debezium`).
+        The old side is already in the diff's full-outer join, so the
+        option costs no extra scan or shuffle.
 
         Scale: copy-on-write relocates ONLY touched buckets, so the
         bucket-location diff between the two manifests prunes the scan to
@@ -370,11 +381,19 @@ class LakeTable:
             [T.StructField("change_op", T.StringType())]
             + [schema[c] for c in user_cols]
             + [schema[c] for c in VERSION_COLUMNS if c != "_op"]
+            + (
+                [
+                    T.StructField(f"_before_{c}", schema[c].dataType)
+                    for c in payload
+                ]
+                if include_before
+                else []
+            )
         )
         if not changed:
             return self.spark.createDataFrame([], T.StructType(out_fields))
 
-        def _live(df: DataFrame, tag: str) -> DataFrame:
+        def _side(df: DataFrame, tag: str, live_only: bool) -> DataFrame:
             keep = (
                 MERGE_KEY
                 + payload
@@ -386,11 +405,21 @@ class LakeTable:
                 *[F.col(c).alias(f"{tag}_{c}") for c in keep if c not in MERGE_KEY],
                 F.lit(True).alias(f"{tag}_present"),
             )
-            return renamed.where(F.col(f"{tag}__op") != "D").drop(f"{tag}__op")
+            if live_only:
+                return renamed.where(F.col(f"{tag}__op") != "D").drop(f"{tag}__op")
+            return renamed
 
-        new = _live(self.read_internal(buckets=to_changed, snapshot_id=to_id), "n")
+        # keep the to-side TOMBSTONES: a D row's version stamp must be the
+        # DELETING event's (carried by the tombstone), not the old row's —
+        # an outbound subscriber replaying the feed with LWW needs the
+        # delete to strictly beat the row it removes.
+        new = _side(
+            self.read_internal(buckets=to_changed, snapshot_id=to_id),
+            "n",
+            live_only=False,
+        )
         if from_snap is None:
-            return new.select(
+            return new.where(F.col("n__op") != "D").select(
                 F.lit("I").alias("change_op"),
                 *MERGE_KEY,
                 *[F.col(f"n_{c}").alias(c) for c in payload],
@@ -398,29 +427,52 @@ class LakeTable:
                     F.col(f"n_{c}").alias(c)
                     for c in ("_ts", "_file_seq", "_log_pos")
                 ],
+                *(
+                    [
+                        F.lit(None)
+                        .cast(schema[c].dataType)
+                        .alias(f"_before_{c}")
+                        for c in payload
+                    ]
+                    if include_before
+                    else []
+                ),
             )
-        old = _live(
+        old = _side(
             self.read_internal(
                 buckets=from_changed, snapshot_id=from_snap["snapshot_id"]
             ),
             "o",
+            live_only=True,
         )
         j = old.join(new, MERGE_KEY, "full_outer")
-        has_new = F.col("n_present").isNotNull()
+        has_new_row = F.col("n_present").isNotNull()
+        has_new = has_new_row & (F.col("n__op") != "D")  # live on the to side
         has_old = F.col("o_present").isNotNull()
         same_version = (
             (F.col("o__ts") == F.col("n__ts"))
             & (F.col("o__file_seq") == F.col("n__file_seq"))
             & (F.col("o__log_pos") == F.col("n__log_pos"))
         )
+        # keys with a to-side tombstone and no from-side live row (created
+        # AND deleted inside the window) net to nothing -> no branch -> NULL
         op = (
             F.when(has_new & ~has_old, "I")
             .when(~has_new & has_old, "D")
-            .otherwise(F.when(same_version, F.lit(None)).otherwise(F.lit("U")))
+            .when(
+                has_new & has_old,
+                F.when(same_version, F.lit(None)).otherwise(F.lit("U")),
+            )
         )
         side = lambda c: F.when(F.col("change_op") == "D", F.col(f"o_{c}")).otherwise(
             F.col(f"n_{c}")
         )
+        # version stamp: D rows report the DELETING event's position (the
+        # to-side tombstone); only when the tombstone was expired by
+        # vacuum/compaction do they fall back to the removed row's stamp
+        ver = lambda c: F.when(
+            (F.col("change_op") == "D") & ~has_new_row, F.col(f"o_{c}")
+        ).otherwise(F.col(f"n_{c}"))
         return (
             j.withColumn("change_op", op)
             .where(F.col("change_op").isNotNull())
@@ -428,7 +480,15 @@ class LakeTable:
                 "change_op",
                 *MERGE_KEY,
                 *[side(c).alias(c) for c in payload],
-                *[side(c).alias(c) for c in ("_ts", "_file_seq", "_log_pos")],
+                *[ver(c).alias(c) for c in ("_ts", "_file_seq", "_log_pos")],
+                *(
+                    [
+                        F.col(f"o_{c}").alias(f"_before_{c}")
+                        for c in payload
+                    ]
+                    if include_before
+                    else []
+                ),
             )
         )
 

@@ -191,3 +191,65 @@ def envelope_to_debezium_json(
     return events.select(
         *passthrough, "file_seq", "log_pos", value.alias("value")
     )
+
+
+def changes_to_debezium(
+    changes_df: DataFrame,
+    db_name: str = "chat",
+    table_name: str = "transcripts",
+    connector_name: str = "binlogsub",
+) -> DataFrame:
+    """OUTBOUND CDC: a :meth:`LakeTable.changes(..., include_before=True)
+    <binlogsub_spark.lake.table.LakeTable.changes>` feed -> Debezium value
+    documents, so downstream consumers subscribe to THIS engine's lake
+    tables exactly the way they'd subscribe to a MySQL primary. The
+    reference is ingest-only (its consumers are in-process ``IBusiness``
+    callbacks, /root/reference/business.h); at 100 TB the changelog is the
+    product — this closes the loop: binlog in, Debezium out, and the
+    round-trip driver query proves decode(encode(changes)) replays to the
+    identical table.
+
+    Mapping: ``change_op`` I/U/D -> Debezium ``c``/``u``/``d``; before
+    images come from the ``_before_*`` columns (I: null; D: the emitted
+    payload, which already is the before state); ``source.file``/``pos``
+    and both ``ts_ms`` fields come from the winning version's
+    ``(_file_seq, _log_pos, _ts)``, so positions survive a full
+    out-and-back trip and LWW ordering is preserved.
+
+    Pure column expressions over the changelog plan — the bucket-pruned
+    ``changes()`` scan stays the only data movement; encoding rides in the
+    same stage (whole-stage codegen, no shuffle added).
+    """
+    payload = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    after_img = F.when(
+        F.col("change_op") != "D",
+        F.struct(*[F.col(c).alias(c) for c in payload]),
+    )
+    # D image ts = the DELETE's version stamp, not the removed row's ts: in
+    # this engine image ts IS the LWW version, so an out-of-order delete
+    # that originally won on ts must re-win on ts when the feed is replayed
+    before_img = F.when(F.col("change_op") == "D",
+        F.struct(
+            *[F.col(c).alias(c) for c in payload[:-1]],
+            F.col("_ts").alias("ts"),
+        ),
+    ).when(
+        F.col("change_op") == "U",
+        F.struct(
+            F.col("conv_id").alias("conv_id"),
+            F.col("turn_idx").alias("turn_idx"),
+            *[F.col(f"_before_{c}").alias(c) for c in payload[2:]],
+        ),
+    )
+    env = changes_df.select(
+        F.col("_file_seq").alias("file_seq"),
+        F.col("_log_pos").alias("log_pos"),
+        F.col("_ts").alias("server_ts"),
+        F.col("change_op").alias("op"),
+        F.lit(db_name).alias("db_name"),
+        F.lit(table_name).alias("table_name"),
+        F.lit(2).cast("int").alias("schema_version"),
+        before_img.alias("before"),
+        after_img.alias("after"),
+    )
+    return envelope_to_debezium_json(env, connector_name=connector_name)
