@@ -1558,6 +1558,82 @@ def q_cdc_outbound_debezium(spark, sf):
     )
 
 
+def q_cdc_txn_atomic_ingest(spark, sf):
+    """Transaction-atomic micro-batches over genuine MySQL frames,
+    value-checked by DuckDB: changes are framed with XID commit markers
+    (one per three changes, plus a final commit per binlog file), and the
+    stream is cut MID-TRANSACTION at each file's midpoint. With
+    atomic_commits=True the first batch defers every row past its file's
+    last XID (stashing them instead of half-applying a transaction); the
+    second batch unions the stash back in and the trailing commits land
+    everything. The final table must equal the plain full-replay LWW —
+    the oracle is cdc_pipeline_e2e's."""
+    from binlogsub_spark.config import EngineConfig
+    from binlogsub_spark.lake.table import LakeTable
+    from binlogsub_spark.mysql_binlog import encode_rows_df, encode_xids_df
+    from binlogsub_spark.pipeline import apply_mysql_batch
+    from binlogsub_spark.sources.generator import (
+        ROLE_ENUM,
+        TOOL_ENUM,
+        transcripts_table_maps,
+    )
+
+    tmaps = transcripts_table_maps()
+    flat = _events_as_flat_changes(spark, sf)
+    enc_in = flat.select(
+        "file_seq", "log_pos", "op",
+        F.when(F.col("schema_version") <= 1, F.lit(11)).otherwise(F.lit(12)).alias("table_id"),
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        F.array_position(
+            F.array(*[F.lit(r) for r in ROLE_ENUM]), F.col("role")
+        ).cast("long").alias("role"),
+        "text",
+        F.when(
+            F.col("tool").isNotNull(),
+            F.array_position(F.array(*[F.lit(t) for t in TOOL_ENUM]), F.col("tool")),
+        ).cast("long").alias("tool"),
+        "ts",
+    )
+    idx = ((F.col("log_pos") - 4) / 128).cast("long")  # in-file change index
+    rows = encode_rows_df(
+        enc_in, tmaps[12], rows_per_event=1, checksum=True,
+        file_seq_col="file_seq", log_pos_col="log_pos",
+        op_col="op", tmap_col="table_id", tmaps=tmaps,
+    )
+    # a commit marker after every third change + a final commit per file
+    commits = enc_in.where(idx % 3 == 2).select(
+        "file_seq", (F.col("log_pos") + 64).alias("log_pos"),
+        idx.alias("xid"),
+    )
+    finals = enc_in.groupBy("file_seq").agg(
+        (F.max("log_pos") + 96).alias("log_pos"),
+        (F.max("log_pos") + 10_000_000).alias("xid"),
+    )
+    xid_frames = encode_xids_df(commits.unionByName(finals), checksum=True)
+    frames = rows.unionByName(xid_frames)
+
+    cut = 4 + 128 * 2048  # every file's midpoint — cuts transactions
+    name_map: dict = {}
+    for tm in tmaps.values():
+        name_map.setdefault((tm.db, tm.table), []).append(tm.columns)
+    tmp = tempfile.mkdtemp(prefix="binlogsub_txn_")
+    table = LakeTable(spark, os.path.join(tmp, "tbl"), buckets=16)
+    cache: dict = {}
+    for i, part in enumerate(
+        [frames.where(F.col("log_pos") <= cut), frames.where(F.col("log_pos") > cut)]
+    ):
+        apply_mysql_batch(
+            table, part, batch_id=i + 1, cfg=EngineConfig(), name_map=name_map,
+            registry_cache=cache, atomic_commits=True,
+            stash_path=os.path.join(tmp, "stash"), persist_source=True,
+        )
+    return table.read().select(
+        "conv_id", F.col("turn_idx").cast("long").alias("turn_idx"),
+        "role", "text", "tool", "ts",
+    )
+
+
 def q_corpus_span_dedup(spark, sf):
     """Span-level (line) boilerplate removal, value-checked by DuckDB:
     multi-line documents are constructed deterministically (every doc gets
@@ -1655,6 +1731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_snapshot_bootstrap": q_cdc_snapshot_bootstrap,
         "cdc_multi_table_route": q_cdc_multi_table_route,
         "cdc_outbound_debezium": q_cdc_outbound_debezium,
+        "cdc_txn_atomic_ingest": q_cdc_txn_atomic_ingest,
         "cdc_mysql_pipeline_e2e": q_cdc_mysql_pipeline_e2e,
         "cdc_mysql_row_decode": q_cdc_mysql_row_decode,
         "cdc_mysql_rows_v1": q_cdc_mysql_rows_v1,
@@ -1970,6 +2047,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         # snapshot+tail converges to the full replay — same oracle as e2e
         "cdc_snapshot_bootstrap": f"""
+            WITH flat AS ({_FLAT_CHANGES_SQL}),
+            w AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY conv_id, turn_idx
+                ORDER BY ts DESC, file_seq DESC, log_pos DESC) AS rn
+              FROM flat
+            )
+            SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+                   role, text, tool, ts
+            FROM w WHERE rn = 1 AND op <> 'D'
+        """,
+        # a mid-transaction batch cut must converge to the full replay —
+        # same oracle as cdc_pipeline_e2e
+        "cdc_txn_atomic_ingest": f"""
             WITH flat AS ({_FLAT_CHANGES_SQL}),
             w AS (
               SELECT *, row_number() OVER (

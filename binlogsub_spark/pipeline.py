@@ -345,6 +345,7 @@ def run_stream(
     available_now: bool = True,
     source_schema: T.StructType | None = None,
     liveness=None,
+    views: list | None = None,
 ):
     """Structured Streaming over the binlog event table.
 
@@ -362,6 +363,13 @@ def run_stream(
     mysql_ping analog: empty batches past the idle interval probe the
     source; repeated probe failure fails the query so the supervisor
     restarts from checkpoint (see liveness.py).
+
+    ``views``: :class:`~binlogsub_spark.operators.ivm.IncrementalView`
+    instances over ``table``, refreshed after every applied micro-batch —
+    continuously-maintained aggregates riding the same stream. Refresh is
+    delta-driven (dirty groups only) and idempotent on the source snapshot
+    id, so a checkpoint-replayed batch (merge no-op, snapshot unchanged)
+    leaves the views untouched.
     """
     cfg = cfg or EngineConfig()
     if source_schema is None:
@@ -392,6 +400,8 @@ def run_stream(
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         m = apply_batch(table, batch_df, batch_id, cfg)
+        for v in views or ():
+            v.refresh()
         if monitor is not None:
             monitor.on_batch(batch_id, m["events"])
 
@@ -826,6 +836,8 @@ def apply_mysql_batch(
     dead_letter_path: str | None = None,
     persist_source: bool = False,
     gtid_lineage: bool = False,
+    atomic_commits: bool = False,
+    stash_path: str | None = None,
 ) -> dict:
     """One micro-batch of GENUINE MySQL binlog frames: registry extract (or
     reuse a pre-extracted one — cheaper per batch) -> scope filter at the
@@ -840,7 +852,19 @@ def apply_mysql_batch(
     silently dropped. ``dead_letter_path`` routes structurally corrupt
     AND semantically undecodable frames (unknown table_id, width
     mismatch, unsupported type) to a reason-coded parquet sink before
-    decode; metrics then carry a ``dead_letter`` count."""
+    decode; metrics then carry a ``dead_letter`` count.
+
+    ``atomic_commits=True`` enforces TRANSACTION-atomic visibility: frames
+    past the last XID_EVENT of their binlog file (a transaction the batch
+    boundary cut in half) are split off before the merge and stashed under
+    ``stash_path`` (hive-partitioned by batch_id); the next batch unions
+    its predecessor's stash back in, where the commit marker lands. The
+    stash write is deterministic and dynamically overwritten per batch_id,
+    so a checkpoint-replayed batch rewrites its own stash byte-identically
+    — exactly-once AND never-half-a-transaction. The watermark and lineage
+    derive from the committed side only (deferred rows-frames do not
+    advance them; recovery is checkpoint-replay + stash, never a
+    watermark seek past unapplied frames)."""
     from pyspark import StorageLevel
 
     from binlogsub_spark.mysql_binlog import (
@@ -850,6 +874,35 @@ def apply_mysql_batch(
     )
 
     cfg = cfg or EngineConfig()
+    n_deferred = None
+    if atomic_commits:
+        from binlogsub_spark.mysql_binlog import split_uncommitted
+        from binlogsub_spark.plans.envelope import RAW_SCHEMA
+
+        spark = raw_frames.sparkSession
+        if stash_path is not None:
+            prev_dir = os.path.join(stash_path, f"batch_id={batch_id - 1}")
+            if os.path.isdir(prev_dir):
+                raw_frames = (
+                    spark.read.schema(RAW_SCHEMA)
+                    .parquet(prev_dir)
+                    .unionByName(raw_frames)
+                )
+        committed, deferred = split_uncommitted(raw_frames, checksum=checksum)
+        if stash_path is not None:
+            from pyspark.sql import Observation
+
+            obs_d = Observation()
+            (
+                deferred.observe(obs_d, F.count(F.lit(1)).alias("n"))
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.partitionBy("batch_id")
+                .option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite")
+                .parquet(stash_path)
+            )
+            n_deferred = obs_d.get["n"]
+        raw_frames = committed
     if persist_source:
         raw_frames.persist(StorageLevel.MEMORY_AND_DISK)
     dead_count = None
@@ -946,6 +999,21 @@ def apply_mysql_batch(
     }
     if dead_count is not None:
         metrics["dead_letter"] = dead_count
+    if n_deferred is not None:
+        metrics["deferred"] = n_deferred
+        # stash partitions <= batch_id-2 can never be read again (batch N
+        # only ever unions partition N-1); drop them driver-side AFTER the
+        # merge committed so a replay window never loses its input
+        if stash_path is not None and os.path.isdir(stash_path):
+            import shutil
+
+            for d in os.listdir(stash_path):
+                if d.startswith("batch_id="):
+                    try:
+                        if int(d.split("=", 1)[1]) <= batch_id - 2:
+                            shutil.rmtree(os.path.join(stash_path, d))
+                    except ValueError:
+                        pass
     return metrics
 
 
@@ -961,6 +1029,7 @@ def run_stream_mysql(
     checksum: bool = True,
     dead_letter_path: str | None = None,
     gtid_lineage: bool = False,
+    atomic_commits: bool = False,
 ):
     """Structured Streaming over a table of genuine MySQL binlog frames —
     the FULL reference-equivalent path, end to end. The table-map registry
@@ -993,6 +1062,12 @@ def run_stream_mysql(
             table, batch_df, batch_id, cfg, name_map=name_map, checksum=checksum,
             registry_cache=registry_cache, dead_letter_path=dead_letter_path,
             gtid_lineage=gtid_lineage,
+            atomic_commits=atomic_commits,
+            stash_path=(
+                os.path.join(checkpoint_dir, "txn_stash")
+                if atomic_commits
+                else None
+            ),
         )
         os.makedirs(checkpoint_dir, exist_ok=True)
         fd, tmp = tempfile.mkstemp(dir=checkpoint_dir, suffix=".maps")

@@ -66,6 +66,12 @@ def main(argv: list[str] | None = None) -> int:
         "records (data/old, type insert/update/delete, in-band "
         "position 'mysql-bin.NNNNNN:pos'); parsed with from_json",
     )
+    ap.add_argument(
+        "--atomic", action="store_true",
+        help="mysql mode: transaction-atomic micro-batches — rows past "
+        "their binlog file's last XID are stashed (never half-applied) "
+        "and land when the commit marker arrives",
+    )
     ap.add_argument("--merge-strategy", choices=["jvm", "arrow_local"], default="jvm")
     ap.add_argument(
         "--gtid", action="store_true",
@@ -120,7 +126,9 @@ def main(argv: list[str] | None = None) -> int:
         if args.mysql:
             from binlogsub_spark.sources.generator import write_mysql_binlog
 
-            write_mysql_binlog(spark, args.source, params, n_files=16)
+            write_mysql_binlog(
+                spark, args.source, params, n_files=16, xids=args.atomic
+            )
         elif args.raw:
             from binlogsub_spark.sources.generator import write_raw_binlog
 
@@ -157,6 +165,8 @@ def main(argv: list[str] | None = None) -> int:
             extra_kw["gtid_lineage"] = True
         if args.dead_letter:
             extra_kw["dead_letter_path"] = args.dead_letter
+        if args.atomic:
+            extra_kw["atomic_commits"] = True
     elif args.raw:
         from binlogsub_spark.pipeline import run_stream_raw as runner
 

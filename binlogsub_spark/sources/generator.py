@@ -354,12 +354,19 @@ def write_mysql_binlog(
     params: GeneratorParams = GeneratorParams(),
     n_files: int = 16,
     checksum: bool = True,
+    xids: bool = False,
 ) -> None:
     """Materialize the GENUINE-MYSQL-FORMAT variant: framed binlog events
     (19-byte headers, TABLE_MAP control frames at each file head, one
     WRITE/UPDATE/DELETE rows-event v2 per change, CRC32 trailers) as
     (file_seq, log_pos, payload) parquet — the input that exercises the
-    full mysql_binlog decode path end-to-end."""
+    full mysql_binlog decode path end-to-end.
+
+    ``xids=True`` additionally frames an XID_EVENT commit marker after
+    every change (one transaction per change, matching the GTID-per-change
+    model) at ``log_pos + 64`` — required by the transaction-atomic ingest
+    mode (``--atomic`` / ``apply_mysql_batch(atomic_commits=True)``),
+    which defers rows-events until their file's commit marker arrives."""
     from binlogsub_spark.mysql_binlog import encode_rows_df
 
     tmaps = transcripts_table_maps()
@@ -394,6 +401,16 @@ def write_mysql_binlog(
         tmap_col="table_id",
         tmaps=tmaps,
     )
+    if xids:
+        from binlogsub_spark.mysql_binlog import encode_xids_df
+
+        commits = enc_in.select(
+            "file_seq",
+            (F.col("log_pos") + 64).alias("log_pos"),
+            (F.col("file_seq").cast("long") * 4096
+             + (F.col("log_pos") - 4) / 128).cast("long").alias("xid"),
+        )
+        raw = raw.unionByName(encode_xids_df(commits, checksum=checksum))
     raw.write.mode("overwrite").parquet(path)
 
 

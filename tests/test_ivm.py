@@ -106,6 +106,38 @@ def test_vanished_group_is_tombstoned(spark, tmp_path):
     ev.unpersist()
 
 
+def test_streaming_maintains_view(spark, tmp_path):
+    """run_stream(views=[...]) keeps the aggregate view current after
+    every micro-batch, and a checkpoint-replayed restart leaves it
+    untouched (refresh is idempotent on the source snapshot id)."""
+    from binlogsub_spark.pipeline import run_stream
+
+    ev = generate_binlog(spark, GeneratorParams(n_events=1500, n_convs=20))
+    src = str(tmp_path / "binlog")
+    ev.repartition(4).write.parquet(src)
+    table = LakeTable(spark, str(tmp_path / "tbl"), buckets=8)
+    view = IncrementalView(table, str(tmp_path / "view"))
+    q = run_stream(
+        spark, src, table, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, views=[view],
+    )
+    q.awaitTermination()
+    pd.testing.assert_frame_equal(
+        _view_state(view), _full_recompute(table), check_dtype=False
+    )
+    snap_before = view.last_refreshed_snapshot()
+    # restart on the same checkpoint: everything already applied -> no-op
+    q2 = run_stream(
+        spark, src, table, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, views=[view],
+    )
+    q2.awaitTermination()
+    assert view.last_refreshed_snapshot() == snap_before
+    pd.testing.assert_frame_equal(
+        _view_state(view), _full_recompute(table), check_dtype=False
+    )
+
+
 def test_full_refresh_recovers_stale_view(spark, tmp_path):
     """full=True must converge even when the incremental bookkeeping is
     gone (the vacuum-expired-changelog recovery path)."""
