@@ -209,6 +209,60 @@ def q_cdc_props_json(spark, sf):
     )
 
 
+_GTID_UUIDS = (
+    "3e11fa47-71ca-11e1-9e33-c80aa9429562",
+    "aaaaaaaa-bbbb-cccc-dddd-eeeeeeeeeeee",
+    "99999999-8888-7777-6666-555544443333",
+)
+
+
+def _gtid_tx(spark, sf):
+    """Deterministic per-transaction GTID stream from ``events``: three
+    server uuids round-robin by event_id, gno = event_id // 3 + 1, with
+    holes (event_id % 97 == 0 skipped) so the executed set has real
+    gaps. Bijective event_id <-> (uuid, gno)."""
+    ev = _t(spark, sf, "events").where(F.col("event_id") % 97 != 0)
+    uuid = (
+        F.when(F.col("event_id") % 3 == 0, _GTID_UUIDS[0])
+        .when(F.col("event_id") % 3 == 1, _GTID_UUIDS[1])
+        .otherwise(_GTID_UUIDS[2])
+    )
+    return ev.select(
+        "event_id",
+        uuid.alias("server_uuid"),
+        (F.col("event_id") / 3 + 1).cast("long").alias("gno"),
+    )
+
+
+def q_cdc_gtid_executed_set(spark, sf):
+    """GTID auto-positioning frontier (operators/gtid.py): compress the
+    per-transaction (uuid, gno) stream into the executed interval set.
+    The heavy stages are equi-joins on the evenly-distributed composite
+    (uuid, gno) — no window over the skewed handful-of-uuids key; only
+    the compressed endpoints (one row per gap) hit a window."""
+    from binlogsub_spark.operators.gtid import gtid_executed_intervals
+
+    return gtid_executed_intervals(_gtid_tx(spark, sf))
+
+
+def q_cdc_gtid_replay_filter(spark, sf):
+    """Resume-replay dedup via GTID sets: the executed set is built from
+    the already-applied half of the stream (even event_ids), compressed
+    to intervals, collected (bounded — one row per gap), then the FULL
+    stream anti-joins the broadcast intervals. Exactly what a GTID
+    auto-position resume does server-side, done relationally."""
+    from binlogsub_spark.operators.gtid import (
+        collect_gtid_set,
+        filter_executed,
+        gtid_executed_intervals,
+    )
+
+    tx = _gtid_tx(spark, sf)
+    applied = tx.where(F.col("event_id") % 2 == 0)
+    executed = collect_gtid_set(gtid_executed_intervals(applied))
+    return filter_executed(tx, executed).select("event_id", "server_uuid", "gno")
+
+
 # ----------------------------------------------------------- training data
 def q_dedup_exact(spark, sf):
     from binlogsub_spark.functions.dedup import exact_duplicates
@@ -714,6 +768,86 @@ def q_multimodal_frame_sample(spark, sf):
         F.col("n_frames").cast("long").alias("n_frames"),
         F.col("frame_idx").cast("long").alias("frame_idx"),
         F.round(F.col("f0").cast("double"), 4).alias("f0"),
+    )
+
+
+def _mixed_audio(spark, sf):
+    """Mixed-codec AUDIO fixture: EVEN doc_ids carry GENUINE RIFF/PCM WAV
+    payloads with per-id deterministic rate/channels/length and constant
+    per-channel amplitudes (odd integers, so the oracle can predict the
+    real RMS/peak exactly and no value sits on a round-half boundary);
+    doc_id % 4 == 0 mono, % 4 == 2 stereo. ODD doc_ids carry raw text
+    bytes that exercise the audio stub path."""
+    import pandas as pd
+
+    from binlogsub_spark.functions.dedup import _rebalance
+    from binlogsub_spark.functions.multimodal import attach_media, encode_wav
+
+    d = _rebalance(_t(spark, sf, "documents").select("doc_id", "text"))
+
+    def _build(batches):
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                if did % 2 == 0:
+                    rate = 8000 + (did % 5) * 2000
+                    n = 400 + did % 600
+                    a = 1 + 2 * ((did * 37) % 9999)
+                    if did % 4 == 0:
+                        samples = np.full((n, 1), a, dtype=np.int16)
+                    else:
+                        b = 1 + 2 * ((did * 91) % 9999)
+                        samples = np.empty((n, 2), dtype=np.int16)
+                        samples[:, 0] = a
+                        samples[:, 1] = b
+                    payloads.append(encode_wav(samples, rate))
+                else:
+                    payloads.append(str(text).encode("utf-8"))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    built = d.mapInPandas(_build, schema="doc_id long, payload binary")
+    return attach_media(built, "doc_id", "payload", kind="audio")
+
+
+def q_multimodal_audio_features(spark, sf):
+    """Audio feature extraction over the MIXED corpus: even ids decode
+    REAL RIFF/PCM (chunk walk -> genuine sample RMS/peak), odd ids the
+    digest stub. Both paths fully value-checked by the oracle."""
+    from binlogsub_spark.functions.multimodal import decode_audio
+
+    feats = decode_audio(_mixed_audio(spark, sf))
+    return feats.select(
+        "media_id",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("channels").cast("long").alias("channels"),
+        F.col("n_samples").cast("long").alias("n_samples"),
+        F.col("duration_ms").cast("long").alias("duration_ms"),
+        F.round(F.col("rms").cast("double"), 4).alias("rms"),
+        F.round(F.col("peak").cast("double"), 4).alias("peak"),
+    )
+
+
+def q_multimodal_audio_resample(spark, sf):
+    """Rate conversion over the MIXED corpus: even ids run the REAL
+    pipeline (RIFF decode -> nearest-sample resample to 16 kHz -> WAV
+    re-encode, new_n_bytes = true re-encoded size; already-at-rate files
+    pass through); odd ids are opaque non-WAV content (NULL outputs —
+    the stub boundary). All oracled."""
+    from binlogsub_spark.functions.multimodal import resample_audio
+
+    out = resample_audio(_mixed_audio(spark, sf), target_rate=16000)
+    return out.select(
+        "media_id",
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("new_sample_rate").cast("long").alias("new_sample_rate"),
+        F.col("n_samples").cast("long").alias("n_samples"),
+        F.col("new_n_samples").cast("long").alias("new_n_samples"),
+        "resampled",
+        F.col("new_n_bytes").cast("long").alias("new_n_bytes"),
     )
 
 
@@ -1725,6 +1859,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_session_windows": q_cdc_session_windows,
         "cdc_asof_join": q_cdc_asof_join,
         "cdc_props_json": q_cdc_props_json,
+        "cdc_gtid_executed_set": q_cdc_gtid_executed_set,
+        "cdc_gtid_replay_filter": q_cdc_gtid_replay_filter,
         "cdc_pipeline_e2e": q_cdc_pipeline_e2e,
         "cdc_rebucket_e2e": q_cdc_rebucket_e2e,
         "cdc_incremental_view": q_cdc_incremental_view,
@@ -1769,6 +1905,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "multimodal_decode_features": q_multimodal_decode_features,
+        "multimodal_audio_features": q_multimodal_audio_features,
+        "multimodal_audio_resample": q_multimodal_audio_resample,
     }
 
 
@@ -1924,6 +2062,40 @@ def oracle_sql() -> dict[str, str]:
                    max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
                    CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
             FROM events GROUP BY event_type
+        """,
+        # gaps-and-islands reference implementation of the GTID executed
+        # set; the engine computes the same intervals join-first (no
+        # window over the skewed uuid key)
+        "cdc_gtid_executed_set": """
+            WITH tx AS (
+              SELECT CASE event_id % 3
+                       WHEN 0 THEN '3e11fa47-71ca-11e1-9e33-c80aa9429562'
+                       WHEN 1 THEN 'aaaaaaaa-bbbb-cccc-dddd-eeeeeeeeeeee'
+                       ELSE '99999999-8888-7777-6666-555544443333'
+                     END AS server_uuid,
+                     event_id // 3 + 1 AS gno
+              FROM events WHERE event_id % 97 <> 0
+            ),
+            d AS (SELECT DISTINCT server_uuid, gno FROM tx),
+            r AS (
+              SELECT server_uuid, gno,
+                     gno - row_number() OVER (
+                       PARTITION BY server_uuid ORDER BY gno) AS isl
+              FROM d
+            )
+            SELECT server_uuid, min(gno) AS ivl_start, max(gno) AS ivl_end
+            FROM r GROUP BY server_uuid, isl
+        """,
+        "cdc_gtid_replay_filter": """
+            SELECT event_id,
+                   CASE event_id % 3
+                     WHEN 0 THEN '3e11fa47-71ca-11e1-9e33-c80aa9429562'
+                     WHEN 1 THEN 'aaaaaaaa-bbbb-cccc-dddd-eeeeeeeeeeee'
+                     ELSE '99999999-8888-7777-6666-555544443333'
+                   END AS server_uuid,
+                   event_id // 3 + 1 AS gno
+            FROM events
+            WHERE event_id % 97 <> 0 AND event_id % 2 = 1
         """,
         "cdc_windowed_metrics": """
             SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
@@ -2767,5 +2939,81 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(text)) AS n_bytes,
                    sha256(text) AS sha256
             FROM documents
+        """,
+        # even ids: REAL WAV decode — constant per-channel amplitudes make
+        # RMS/peak closed-form (mono: a/32768 exactly; stereo:
+        # sqrt((a^2+b^2)/2)/32768, bit-identical because every intermediate
+        # is an exact dyadic double and IEEE sqrt is correctly rounded).
+        # odd ids: the digest stub, replayed from sha256 hex.
+        "multimodal_audio_features": """
+            WITH d AS (
+              SELECT doc_id AS media_id, text, sha256(text) AS sha
+              FROM documents
+            ),
+            wav AS (
+              SELECT media_id,
+                     8000 + (media_id % 5) * 2000 AS rate,
+                     CASE WHEN media_id % 4 = 0 THEN 1 ELSE 2 END AS ch,
+                     400 + media_id % 600 AS n,
+                     1 + 2 * ((media_id * 37) % 9999) AS a,
+                     1 + 2 * ((media_id * 91) % 9999) AS b
+              FROM d WHERE media_id % 2 = 0
+            ),
+            stub AS (
+              SELECT media_id,
+                     octet_length(encode(text)) AS n_bytes,
+                     8000 + 100 * ('0x' || substr(sha, 1, 2))::BIGINT AS rate,
+                     1 + ('0x' || substr(sha, 3, 2))::BIGINT % 2 AS ch,
+                     1000 + ('0x' || substr(sha, 5, 2))::BIGINT * 37 AS n,
+                     round(('0x' || substr(sha, 7, 2))::BIGINT / 255.0, 4) AS rms,
+                     round(('0x' || substr(sha, 9, 2))::BIGINT / 255.0, 4) AS peak
+              FROM d WHERE media_id % 2 = 1
+            )
+            SELECT media_id, 44 + n * ch * 2 AS n_bytes,
+                   rate AS sample_rate, ch AS channels, n AS n_samples,
+                   (n * 1000) // rate AS duration_ms,
+                   CASE WHEN ch = 1 THEN round(a / 32768.0, 4)
+                        ELSE round(sqrt((a * a + b * b) / 2.0) / 32768.0, 4)
+                   END AS rms,
+                   CASE WHEN ch = 1 THEN round(a / 32768.0, 4)
+                        ELSE round(greatest(a, b) / 32768.0, 4)
+                   END AS peak
+            FROM wav
+            UNION ALL
+            SELECT media_id, n_bytes, rate AS sample_rate, ch AS channels,
+                   n AS n_samples, (n * 1000) // rate AS duration_ms, rms, peak
+            FROM stub
+        """,
+        "multimodal_audio_resample": """
+            WITH d AS (
+              SELECT doc_id AS media_id FROM documents
+            ),
+            wav AS (
+              SELECT media_id,
+                     8000 + (media_id % 5) * 2000 AS rate,
+                     CASE WHEN media_id % 4 = 0 THEN 1 ELSE 2 END AS ch,
+                     400 + media_id % 600 AS n
+              FROM d WHERE media_id % 2 = 0
+            ),
+            conv AS (
+              SELECT media_id, rate, ch, n,
+                     rate <> 16000 AS resampled,
+                     CASE WHEN rate <> 16000 THEN (n * 16000) // rate
+                          ELSE n END AS new_n
+              FROM wav
+            )
+            SELECT media_id, rate AS sample_rate,
+                   16000 AS new_sample_rate, n AS n_samples,
+                   new_n AS new_n_samples, resampled,
+                   44 + new_n * ch * 2 AS new_n_bytes
+            FROM conv
+            UNION ALL
+            SELECT media_id, CAST(NULL AS BIGINT) AS sample_rate,
+                   CAST(NULL AS BIGINT) AS new_sample_rate,
+                   CAST(NULL AS BIGINT) AS n_samples,
+                   CAST(NULL AS BIGINT) AS new_n_samples,
+                   CAST(NULL AS BOOLEAN) AS resampled,
+                   CAST(NULL AS BIGINT) AS new_n_bytes
+            FROM d WHERE media_id % 2 = 1
         """,
     }

@@ -10,7 +10,12 @@ The codec boundary dispatches on content magic (``_CODECS`` registry):
   header parse (BITMAPFILEHEADER + BITMAPINFOHEADER), BGR bottom-up
   padded rows handled exactly per the public format spec; proves the
   dispatch generalizes past one magic.
-* Everything else (JPEG/PNG/audio/video — libs absent in this container)
+* **WAV (RIFF 16-bit PCM) audio decodes FOR REAL** — genuine RIFF chunk
+  walk (fmt/data located by id, unknown chunks skipped word-aligned),
+  genuine PCM sample statistics (RMS/peak), genuine nearest-sample rate
+  conversion and re-encode — the audio modality runs end to end on real
+  samples, no audio libs.
+* Everything else (JPEG/PNG/MP3/video — libs absent in this container)
   hits ``_decode_image_stub``, clearly marked; everything Spark-side —
   schema, Arrow batch shape, mapInPandas signatures, partitioning — is
   real and tested either way. Swapping the stub for a PIL/ffmpeg call is
@@ -188,6 +193,73 @@ def decode_bmp(content: bytes) -> tuple[int, int, np.ndarray]:
     return w, h, bgr[:, :, ::-1]  # BGR -> RGB
 
 
+# ------------------------------------------- REAL WAV (RIFF/PCM) codec --
+WAV_MAGIC = b"RIFF"
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """(n, channels) int16 PCM -> canonical RIFF/WAVE bytes (44-byte
+    header: 'fmt ' + 'data' chunks), pure struct/numpy — the publicly
+    documented WAVE format, no audio libs."""
+    import struct
+
+    if samples.ndim != 2 or samples.dtype != np.int16:
+        raise ValueError("encode_wav expects (n, channels) int16")
+    n, ch = samples.shape
+    body = np.ascontiguousarray(samples).tobytes()
+    byte_rate = sample_rate * ch * 2
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(body), b"WAVE")
+        + struct.pack(
+            "<4sIHHIIHH", b"fmt ", 16, 1, ch, sample_rate, byte_rate, ch * 2, 16
+        )
+        + struct.pack("<4sI", b"data", len(body))
+        + body
+    )
+
+
+def decode_wav(content: bytes) -> tuple[int, int, np.ndarray]:
+    """RIFF/WAVE -> (sample_rate, channels, (n, channels) int16 view).
+    Real chunk walk (fmt/data located by id, unknown chunks skipped per
+    the RIFF spec, word-aligned); PCM format 1, 16-bit only — everything
+    else raises and falls back to the stub boundary."""
+    import struct
+
+    if content[:4] != WAV_MAGIC or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, n = 12, len(content)
+    fmt = data = None
+    while pos + 8 <= n:
+        cid, size = struct.unpack_from("<4sI", content, pos)
+        pos += 8
+        if pos + size > n:
+            raise ValueError("truncated RIFF chunk")
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("short fmt chunk")
+            fmt = struct.unpack_from("<HHIIHH", content, pos)
+        elif cid == b"data":
+            data = content[pos : pos + size]
+        pos += size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAVE missing fmt/data chunk")
+    audio_format, ch, rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16 or ch < 1:
+        raise ValueError(f"only 16-bit PCM supported (fmt={audio_format}, bits={bits})")
+    usable = (len(data) // (ch * 2)) * ch
+    samples = np.frombuffer(data, dtype="<i2", count=usable).reshape(-1, ch)
+    return rate, ch, samples
+
+
+def resample_nearest_audio(samples: np.ndarray, rate: int, new_rate: int) -> np.ndarray:
+    """Nearest-sample rate conversion, pure numpy (one index gather) —
+    the audio analog of resize_nearest."""
+    n = samples.shape[0]
+    new_n = (n * new_rate) // rate
+    idx = (np.arange(new_n, dtype=np.int64) * n) // max(new_n, 1)
+    return samples[idx]
+
+
 # magic -> (decode: bytes -> (w, h, rgb), encode: rgb -> bytes). Adding a
 # container = one registry line; the Spark-side plumbing never changes.
 _CODECS: dict[bytes, tuple] = {
@@ -346,6 +418,143 @@ def resize_media(media_df: DataFrame, max_side: int = 256) -> DataFrame:
         ]
     )
     return media_df.mapInPandas(_resize, schema=schema)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("sha256", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+    ]
+)
+
+
+def _decode_audio_stub(content: bytes) -> tuple[int, int, int, float, float]:
+    """STUB — deterministic fake audio decode (a real deployment calls
+    libsndfile/ffmpeg here). Derives (rate, channels, n_samples, rms,
+    peak) from the payload digest so tests are stable and the oracle can
+    replay the derivation from the sha256 hex."""
+    digest = hashlib.sha256(content).digest()
+    rate = 8000 + 100 * digest[0]
+    ch = 1 + digest[1] % 2
+    n_samples = 1000 + digest[2] * 37
+    return rate, ch, n_samples, digest[3] / 255.0, digest[4] / 255.0
+
+
+def decode_audio(media_df: DataFrame) -> DataFrame:
+    """Audio feature extraction over the media envelope: RIFF/WAVE
+    payloads decode FOR REAL (chunk walk -> genuine PCM sample stats:
+    RMS and peak over all channels, normalized by full scale 32768);
+    other containers hit the stub. Same mapInPandas/Arrow batch shape as
+    the image path — the modality changes, the plumbing does not."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content, meta in zip(
+                pdf["media_id"], pdf["content"], pdf["meta"]
+            ):
+                content = bytes(content)
+                try:
+                    rate, ch, samples = decode_wav(content)
+                    x = samples.astype(np.float64) / 32768.0
+                    n = samples.shape[0]
+                    rms = float(np.sqrt(np.mean(x * x))) if n else 0.0
+                    peak = float(np.max(np.abs(x))) if n else 0.0
+                except ValueError:
+                    rate, ch, n, rms, peak = _decode_audio_stub(content)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "n_bytes": meta["n_bytes"],
+                        "sha256": meta["sha256"],
+                        "sample_rate": rate,
+                        "channels": ch,
+                        "n_samples": n,
+                        "duration_ms": n * 1000 // rate,
+                        "rms": rms,
+                        "peak": peak,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields]
+            )
+
+    return media_df.mapInPandas(_extract, schema=AUDIO_FEATURES_SCHEMA)
+
+
+def resample_audio(media_df: DataFrame, target_rate: int = 16000) -> DataFrame:
+    """Rate conversion: WAV payloads run REAL end to end (decode ->
+    nearest-sample resample -> re-encode, ``new_n_bytes`` = re-encoded
+    size); non-WAV content passes through opaque with NULL outputs (the
+    stub boundary). Already-at-rate files are not re-encoded."""
+
+    def _resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                content = bytes(content)
+                try:
+                    rate, ch, samples = decode_wav(content)
+                except ValueError:
+                    rows.append(
+                        {
+                            "media_id": mid, "sample_rate": None,
+                            "new_sample_rate": None, "n_samples": None,
+                            "new_n_samples": None, "resampled": None,
+                            "new_n_bytes": None,
+                        }
+                    )
+                    continue
+                n = samples.shape[0]
+                if rate != target_rate:
+                    out = resample_nearest_audio(samples, rate, target_rate)
+                    new_bytes = len(encode_wav(out, target_rate))
+                    rows.append(
+                        {
+                            "media_id": mid, "sample_rate": rate,
+                            "new_sample_rate": target_rate, "n_samples": n,
+                            "new_n_samples": out.shape[0], "resampled": True,
+                            "new_n_bytes": new_bytes,
+                        }
+                    )
+                else:
+                    rows.append(
+                        {
+                            "media_id": mid, "sample_rate": rate,
+                            "new_sample_rate": rate, "n_samples": n,
+                            "new_n_samples": n, "resampled": False,
+                            "new_n_bytes": len(content),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "new_sample_rate", "n_samples",
+                    "new_n_samples", "resampled", "new_n_bytes",
+                ],
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("new_sample_rate", T.IntegerType()),
+            T.StructField("n_samples", T.IntegerType()),
+            T.StructField("new_n_samples", T.IntegerType()),
+            T.StructField("resampled", T.BooleanType()),
+            T.StructField("new_n_bytes", T.IntegerType()),
+        ]
+    )
+    return media_df.select("media_id", "content").mapInPandas(
+        _resample, schema=schema
+    )
 
 
 FRAME_SCHEMA = T.StructType(

@@ -479,3 +479,132 @@ def test_decontaminate_counts_and_broadcast_plan(spark):
     # the eval side must broadcast (map-side semi-join at corpus scale)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------- real WAV codec
+def test_wav_roundtrip_chunk_walk_and_rejects():
+    import numpy as np
+    import pytest as _pytest
+
+    from binlogsub_spark.functions.multimodal import decode_wav, encode_wav
+
+    rng = np.random.default_rng(23)
+    samples = rng.integers(-32768, 32768, size=(777, 2), dtype=np.int16)
+    blob = encode_wav(samples, 44100)
+    assert blob[:4] == b"RIFF" and blob[8:12] == b"WAVE"
+    assert len(blob) == 44 + 777 * 2 * 2
+    rate, ch, back = decode_wav(blob)
+    assert (rate, ch) == (44100, 2)
+    np.testing.assert_array_equal(back, samples)
+
+    # RIFF spec: unknown chunks (incl. odd-sized, word-aligned) are skipped
+    import struct
+
+    extra = struct.pack("<4sI", b"LIST", 5) + b"12345" + b"\x00"  # pad byte
+    with_extra = blob[:12] + extra + blob[12:]
+    fixed = bytearray(with_extra)
+    struct.pack_into("<I", fixed, 4, len(with_extra) - 8)
+    rate2, ch2, back2 = decode_wav(bytes(fixed))
+    assert rate2 == 44100
+    np.testing.assert_array_equal(back2, samples)
+
+    with _pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxNOPE" + b"\x00" * 40)  # not WAVE
+    with _pytest.raises(ValueError):
+        decode_wav(blob[:20])  # truncated: no data chunk
+    # non-PCM (format 3 = float) must refuse, not mis-decode
+    bad = bytearray(blob)
+    struct.pack_into("<H", bad, 20, 3)
+    with _pytest.raises(ValueError):
+        decode_wav(bytes(bad))
+
+
+def test_wav_resample_nearest():
+    import numpy as np
+
+    from binlogsub_spark.functions.multimodal import resample_nearest_audio
+
+    x = np.arange(100, dtype=np.int16).reshape(-1, 1)
+    up = resample_nearest_audio(x, 8000, 16000)
+    assert up.shape == (200, 1)
+    # index gather reference: out[i] = x[(i * n) // new_n]
+    for i in (0, 1, 57, 199):
+        assert up[i, 0] == x[(i * 100) // 200, 0]
+    down = resample_nearest_audio(x, 16000, 8000)
+    assert down.shape == (50, 1)
+    assert down[49, 0] == x[98, 0]
+
+
+def test_decode_audio_real_vs_stub(spark):
+    """REAL WAV rows report genuine PCM stats; non-WAV rows hit the
+    digest stub; both deterministic."""
+    import numpy as np
+
+    from binlogsub_spark.functions.multimodal import (
+        attach_media,
+        decode_audio,
+        encode_wav,
+    )
+
+    const = np.full((500, 1), 3277, dtype=np.int16)  # ~0.1 full scale
+    stereo = np.empty((250, 2), dtype=np.int16)
+    stereo[:, 0] = 1000
+    stereo[:, 1] = -2000
+    d = spark.createDataFrame(
+        [
+            (1, bytearray(encode_wav(const, 8000))),
+            (2, bytearray(encode_wav(stereo, 16000))),
+            (3, bytearray(b"plain text, not audio")),
+        ],
+        "doc_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in decode_audio(attach_media(d, "doc_id", "payload", kind="audio")).collect()}
+    r1 = rows[1]
+    assert (r1["sample_rate"], r1["channels"], r1["n_samples"]) == (8000, 1, 500)
+    assert r1["duration_ms"] == 500 * 1000 // 8000
+    assert abs(r1["rms"] - 3277 / 32768.0) < 1e-12
+    assert abs(r1["peak"] - 3277 / 32768.0) < 1e-12
+    r2 = rows[2]
+    assert (r2["sample_rate"], r2["channels"], r2["n_samples"]) == (16000, 2, 250)
+    import math
+
+    assert abs(r2["rms"] - math.sqrt((1000**2 + 2000**2) / 2) / 32768.0) < 1e-12
+    assert abs(r2["peak"] - 2000 / 32768.0) < 1e-12
+    r3 = rows[3]  # stub: digest-derived, bounded
+    assert 8000 <= r3["sample_rate"] <= 8000 + 100 * 255
+    assert r3["channels"] in (1, 2)
+    assert 0.0 <= r3["rms"] <= 1.0 and 0.0 <= r3["peak"] <= 1.0
+
+
+def test_resample_audio_real_passthrough_and_opaque(spark):
+    import numpy as np
+
+    from binlogsub_spark.functions.multimodal import (
+        attach_media,
+        encode_wav,
+        resample_audio,
+    )
+
+    x = np.arange(1000, dtype=np.int16).reshape(-1, 1)
+    d = spark.createDataFrame(
+        [
+            (1, bytearray(encode_wav(x, 8000))),     # upsample 8k -> 16k
+            (2, bytearray(encode_wav(x, 16000))),    # already at rate
+            (3, bytearray(b"opaque non-wav bytes")),  # stub boundary
+        ],
+        "doc_id long, payload binary",
+    )
+    rows = {
+        r["media_id"]: r
+        for r in resample_audio(
+            attach_media(d, "doc_id", "payload", kind="audio"), target_rate=16000
+        ).collect()
+    }
+    r1 = rows[1]
+    assert r1["resampled"] and r1["new_n_samples"] == 2000
+    assert r1["new_n_bytes"] == 44 + 2000 * 2  # true re-encoded size
+    r2 = rows[2]
+    assert not r2["resampled"] and r2["new_n_samples"] == 1000
+    assert r2["new_n_bytes"] == 44 + 1000 * 2
+    r3 = rows[3]
+    assert r3["sample_rate"] is None and r3["new_n_bytes"] is None
