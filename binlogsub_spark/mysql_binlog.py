@@ -1271,6 +1271,39 @@ def encode_xids_df(commits: DataFrame, checksum: bool = False) -> DataFrame:
     )
 
 
+def encode_gtids_df(
+    txs: DataFrame, sid: bytes = b"\x12" * 16, checksum: bool = False
+) -> DataFrame:
+    """(file_seq, log_pos, gno) rows -> framed GTID_LOG_EVENTs in
+    RAW_SCHEMA — the fixture half of GTID auto-positioning (per-frame
+    Python is fine: fixture generation, not the hot path)."""
+    import pyarrow as pa
+
+    schema = T.StructType(
+        [
+            T.StructField("file_seq", T.IntegerType(), False),
+            T.StructField("log_pos", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def _enc(batches):
+        for rb in batches:
+            pdf = rb.to_pandas()
+            payloads = [
+                encode_gtid(sid, int(g), checksum=checksum) for g in pdf["gno"]
+            ]
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "file_seq": pdf["file_seq"].astype("int32"),
+                    "log_pos": pdf["log_pos"].astype("int64"),
+                    "payload": payloads,
+                }
+            )
+
+    return txs.select("file_seq", "log_pos", "gno").mapInArrow(_enc, schema)
+
+
 def split_uncommitted(
     raw_df: DataFrame, checksum: bool = True
 ) -> tuple[DataFrame, DataFrame]:

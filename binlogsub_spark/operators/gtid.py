@@ -223,3 +223,28 @@ def filter_executed(
         & (F.col(gno_col) <= F.col("xe"))
     )
     return events.join(F.broadcast(ivl), cond, "left_anti")
+
+
+def filter_executed_gtids(
+    df: DataFrame, executed: GtidSet | str, gtid_col: str = "gtid"
+) -> DataFrame:
+    """``filter_executed`` over a ``uuid:gno`` string column (the shape
+    ``assign_gtids`` leaves on decoded rows): split inline inside the
+    anti-join condition — no extra projection, rows with a NULL gtid
+    (no GTID events in their file) are kept, the event stream never
+    shuffles."""
+    if isinstance(executed, str):
+        executed = parse_gtid_set(executed)
+    spark = df.sparkSession
+    rows = [(u, s, e) for u, ivls in executed.items() for s, e in ivls]
+    if not rows:
+        return df
+    ivl = spark.createDataFrame(rows, "xuuid string, xs long, xe long")
+    g = F.col(gtid_col)
+    gno = F.substring_index(g, ":", -1).cast("long")
+    cond = (
+        (F.lower(F.substring_index(g, ":", 1)) == F.col("xuuid"))
+        & (gno >= F.col("xs"))
+        & (gno <= F.col("xe"))
+    )
+    return df.join(F.broadcast(ivl), cond, "left_anti")

@@ -836,6 +836,9 @@ def apply_mysql_batch(
     dead_letter_path: str | None = None,
     persist_source: bool = False,
     gtid_lineage: bool = False,
+    skip_gtids=None,
+    track_gtid_set: bool = False,
+    gtid_cache: dict | None = None,
     atomic_commits: bool = False,
     stash_path: str | None = None,
 ) -> dict:
@@ -864,7 +867,25 @@ def apply_mysql_batch(
     — exactly-once AND never-half-a-transaction. The watermark and lineage
     derive from the committed side only (deferred rows-frames do not
     advance them; recovery is checkpoint-replay + stash, never a
-    watermark seek past unapplied frames)."""
+    watermark seek past unapplied frames).
+
+    GTID auto-positioning: ``skip_gtids`` (a GtidSet or its text form)
+    drops decoded rows whose transaction is already in the executed set
+    — the source-side resume dedup of a GTID auto-position dump, done as
+    a broadcast interval anti-join (the raw watermark still advances
+    over skipped frames, matching how a server-side skip advances the
+    position). ``track_gtid_set=True`` adds ``gtid_executed`` (canonical
+    GTID-set text of THIS batch's transactions) to the returned metrics
+    so the caller can maintain the cumulative frontier.
+
+    ``gtid_cache`` (a mutable {file_seq: (log_pos, gtid)} dict) carries
+    the LAST GTID seen per binlog file ACROSS micro-batches — the GTID
+    analog of ``registry_cache``, and of the reference's mutable
+    per-connection position state (packet.cc:56-68): a batch boundary
+    that cuts between a GTID_LOG_EVENT and its transaction's rows-events
+    would otherwise leave the next batch's leading rows with a NULL
+    gtid (un-taggable, un-skippable); the cached frontier seeds the
+    as-of assignment instead."""
     from pyspark import StorageLevel
 
     from binlogsub_spark.mysql_binlog import (
@@ -957,15 +978,67 @@ def apply_mysql_batch(
             decode_src, registry, column_overrides=overrides, checksum=checksum,
             skip_invalid=skip_invalid, known_table_ids=known_ids,
         )
-        if gtid_lineage:
-            # tag each decoded row with its transaction's GTID (the last
-            # GTID event at-or-before it) — the "GTID+log-position
-            # ordering" of the north rule carried into the lake as lineage
+        gtid_exec_str = None
+        if (
+            gtid_lineage
+            or skip_gtids is not None
+            or track_gtid_set
+            or gtid_cache is not None
+        ):
             from binlogsub_spark.mysql_binlog import assign_gtids, extract_gtids
 
-            decoded = assign_gtids(
-                decoded, extract_gtids(raw_frames, checksum=checksum)
-            )
+            gtids_df = extract_gtids(raw_frames, checksum=checksum)
+            assign_src = gtids_df
+            if gtid_cache:
+                # seed with the per-file GTID frontier of earlier batches:
+                # rows before this batch's first GTID frame belong to the
+                # previous batch's last (open) transaction
+                seed = raw_frames.sparkSession.createDataFrame(
+                    [(fs, lp, g) for fs, (lp, g) in gtid_cache.items()],
+                    "file_seq int, log_pos long, gtid string",
+                )
+                assign_src = gtids_df.unionByName(seed)
+            if gtid_lineage or skip_gtids is not None:
+                # tag each decoded row with its transaction's GTID (the
+                # last GTID event at-or-before it) — the "GTID+log-position
+                # ordering" of the north rule carried into the lake as
+                # lineage (and the key the resume filter drops on)
+                decoded = assign_gtids(decoded, assign_src)
+            if gtid_cache is not None:
+                # advance the cached frontier (bounded: one row per binlog
+                # file in the batch, same cost class as the lineage agg)
+                for r in (
+                    gtids_df.groupBy("file_seq")
+                    .agg(
+                        F.max_by("gtid", "log_pos").alias("g"),
+                        F.max("log_pos").alias("lp"),
+                    )
+                    .collect()
+                ):
+                    prev = gtid_cache.get(int(r["file_seq"]))
+                    if prev is None or r["lp"] > prev[0]:
+                        gtid_cache[int(r["file_seq"])] = (int(r["lp"]), r["g"])
+            if skip_gtids is not None:
+                from binlogsub_spark.operators.gtid import filter_executed_gtids
+
+                decoded = filter_executed_gtids(decoded, skip_gtids)
+                if not gtid_lineage:
+                    decoded = decoded.drop("gtid")
+            if track_gtid_set:
+                from binlogsub_spark.operators.gtid import (
+                    collect_gtid_set,
+                    format_gtid_set,
+                    gtid_executed_intervals,
+                    split_gtid,
+                )
+
+                gtid_exec_str = format_gtid_set(
+                    collect_gtid_set(
+                        gtid_executed_intervals(
+                            gtids_df.select(*split_gtid(F.col("gtid")))
+                        )
+                    )
+                )
         partials = partial_lww_reduce(
             mysql_decoded_to_upserts(decoded, cfg), salt=cfg.skew_salt
         )
@@ -999,6 +1072,8 @@ def apply_mysql_batch(
     }
     if dead_count is not None:
         metrics["dead_letter"] = dead_count
+    if gtid_exec_str is not None:
+        metrics["gtid_executed"] = gtid_exec_str
     if n_deferred is not None:
         metrics["deferred"] = n_deferred
         # stash partitions <= batch_id-2 can never be read again (batch N
@@ -1029,6 +1104,7 @@ def run_stream_mysql(
     checksum: bool = True,
     dead_letter_path: str | None = None,
     gtid_lineage: bool = False,
+    gtid_auto_position: bool = False,
     atomic_commits: bool = False,
 ):
     """Structured Streaming over a table of genuine MySQL binlog frames —
@@ -1037,7 +1113,16 @@ def run_stream_mysql(
     (table_maps.json, atomic rename), so a batch whose TABLE_MAP frames
     arrived earlier — or before a kill/restart — still decodes; the
     reference keeps the same cache in memory keyed off its Redis position
-    (packet.cc:194-200)."""
+    (packet.cc:194-200).
+
+    ``gtid_auto_position=True`` maintains the executed GTID set as a
+    second, failover-portable frontier: each batch's transaction ids are
+    compressed to intervals and unioned into
+    ``<checkpoint>/gtid_executed.txt`` (atomic rename, idempotent on
+    checkpoint replay), and transactions already in the set AT STREAM
+    START are dropped before the merge — so a table restored onto a new
+    source (different binlog file numbering, same GTIDs) resumes without
+    double-applying, which a (file, position) watermark cannot express."""
     import os
     import tempfile
 
@@ -1057,11 +1142,40 @@ def run_stream_mysql(
         with open(maps_path) as f:
             registry_cache.update(registry_from_json(f.read()))
 
+    gtid_path = os.path.join(checkpoint_dir, "gtid_executed.txt")
+    gtid_pos_path = os.path.join(checkpoint_dir, "gtid_positions.json")
+    skip_gtids = None
+    executed_acc: dict = {}
+    gtid_cache: dict | None = None
+    if gtid_auto_position or gtid_lineage:
+        # per-file GTID frontier: lets a batch cut between a GTID frame
+        # and its rows-events (or a restart) still tag the leading rows
+        gtid_cache = {}
+        if os.path.exists(gtid_pos_path):
+            import json as _json
+
+            with open(gtid_pos_path) as f:
+                gtid_cache.update(
+                    {int(k): tuple(v) for k, v in _json.load(f).items()}
+                )
+    if gtid_auto_position:
+        from binlogsub_spark.operators.gtid import parse_gtid_set
+
+        if os.path.exists(gtid_path):
+            with open(gtid_path) as f:
+                executed_acc = parse_gtid_set(f.read())
+        if executed_acc:
+            skip_gtids = executed_acc
+
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        apply_mysql_batch(
+        nonlocal executed_acc
+        m = apply_mysql_batch(
             table, batch_df, batch_id, cfg, name_map=name_map, checksum=checksum,
             registry_cache=registry_cache, dead_letter_path=dead_letter_path,
             gtid_lineage=gtid_lineage,
+            skip_gtids=skip_gtids,
+            track_gtid_set=gtid_auto_position,
+            gtid_cache=gtid_cache,
             atomic_commits=atomic_commits,
             stash_path=(
                 os.path.join(checkpoint_dir, "txn_stash")
@@ -1070,6 +1184,27 @@ def run_stream_mysql(
             ),
         )
         os.makedirs(checkpoint_dir, exist_ok=True)
+        if gtid_auto_position and m.get("gtid_executed"):
+            from binlogsub_spark.operators.gtid import (
+                format_gtid_set,
+                gtid_set_union,
+                parse_gtid_set,
+            )
+
+            executed_acc = gtid_set_union(
+                executed_acc, parse_gtid_set(m["gtid_executed"])
+            )
+            fd, tmp = tempfile.mkstemp(dir=checkpoint_dir, suffix=".gtids")
+            with os.fdopen(fd, "w") as f:
+                f.write(format_gtid_set(executed_acc))
+            os.replace(tmp, gtid_path)  # atomic + idempotent (set union)
+        if gtid_cache:
+            import json as _json
+
+            fd, tmp = tempfile.mkstemp(dir=checkpoint_dir, suffix=".gpos")
+            with os.fdopen(fd, "w") as f:
+                f.write(_json.dumps({str(k): list(v) for k, v in gtid_cache.items()}))
+            os.replace(tmp, gtid_pos_path)
         fd, tmp = tempfile.mkstemp(dir=checkpoint_dir, suffix=".maps")
         with os.fdopen(fd, "w") as f:
             f.write(registry_to_json(registry_cache))

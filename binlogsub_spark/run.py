@@ -79,6 +79,13 @@ def main(argv: list[str] | None = None) -> int:
              "(as-of assignment from GTID_LOG_EVENT frames)",
     )
     ap.add_argument(
+        "--gtid-auto-position", action="store_true",
+        help="mysql mode: maintain <checkpoint>/gtid_executed.txt (the "
+        "canonical executed GTID set, unioned per batch) and drop "
+        "transactions already in it at stream start — failover-portable "
+        "resume that a (file, position) watermark cannot express",
+    )
+    ap.add_argument(
         "--dead-letter", default=None,
         help="mysql/raw mode: parquet path for reason-coded undecodable "
         "frames (batch_id-partitioned, idempotent on replay)",
@@ -127,7 +134,8 @@ def main(argv: list[str] | None = None) -> int:
             from binlogsub_spark.sources.generator import write_mysql_binlog
 
             write_mysql_binlog(
-                spark, args.source, params, n_files=16, xids=args.atomic
+                spark, args.source, params, n_files=16, xids=args.atomic,
+                gtids=args.gtid or args.gtid_auto_position,
             )
         elif args.raw:
             from binlogsub_spark.sources.generator import write_raw_binlog
@@ -163,6 +171,8 @@ def main(argv: list[str] | None = None) -> int:
         extra_kw["name_map"] = name_map
         if args.gtid:
             extra_kw["gtid_lineage"] = True
+        if args.gtid_auto_position:
+            extra_kw["gtid_auto_position"] = True
         if args.dead_letter:
             extra_kw["dead_letter_path"] = args.dead_letter
         if args.atomic:

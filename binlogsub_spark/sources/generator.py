@@ -355,6 +355,7 @@ def write_mysql_binlog(
     n_files: int = 16,
     checksum: bool = True,
     xids: bool = False,
+    gtids: bool = False,
 ) -> None:
     """Materialize the GENUINE-MYSQL-FORMAT variant: framed binlog events
     (19-byte headers, TABLE_MAP control frames at each file head, one
@@ -411,6 +412,38 @@ def write_mysql_binlog(
              + (F.col("log_pos") - 4) / 128).cast("long").alias("xid"),
         )
         raw = raw.unionByName(encode_xids_df(commits, checksum=checksum))
+    if gtids:
+        # one transaction per change (matching the .binlog files variant):
+        # GTID_LOG_EVENT one position ahead of its rows-event,
+        # gno = delivery_seq + 1 so gnos are dense from 1
+        from binlogsub_spark.mysql_binlog import encode_gtids_df
+
+        txs = enc_in.select(
+            "file_seq",
+            (F.col("log_pos") - 1).alias("log_pos"),
+            (F.col("delivery_seq") + 1).cast("long").alias("gno"),
+        )
+        raw = raw.unionByName(encode_gtids_df(txs, checksum=checksum))
+        # the union writes GTID frames as SEPARATE parquet files; a file
+        # streaming source would then deliver whole micro-batches of
+        # rows-events with no GTID frame in sight. Re-range the union on
+        # the owning transaction's position (GTID sits at log_pos-1 ->
+        # +1; XID at +64 -> -64; type byte at header offset 5) so every
+        # parquet file carries its transactions whole, like a real binlog
+        from binlogsub_spark.mysql_binlog import GTID_LOG_EVENT, XID_EVENT
+
+        etype = F.expr("substring(payload, 5, 1)")
+        tx = F.col("log_pos") + (
+            F.when(etype == F.lit(bytes([GTID_LOG_EVENT])), F.lit(1))
+            .when(etype == F.lit(bytes([XID_EVENT])), F.lit(-64))
+            .otherwise(F.lit(0))
+        )
+        raw = (
+            raw.withColumn("_tx", tx)
+            .repartitionByRange(n_files, "file_seq", "_tx")
+            .sortWithinPartitions("file_seq", "_tx", "log_pos")
+            .drop("_tx")
+        )
     raw.write.mode("overwrite").parquet(path)
 
 

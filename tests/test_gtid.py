@@ -119,3 +119,120 @@ def test_executed_roundtrip_through_collect(spark):
     gset = collect_gtid_set(gtid_executed_intervals(df))
     assert gset == {U1: [(4, 6), (100, 100)], U2: [(1, 1)]}
     assert format_gtid_set(gset) == f"{U1}:4-6:100,{U2}:1"
+
+
+def test_apply_mysql_batch_gtid_skip_and_track(spark, tmp_path):
+    """GTID auto-position at the batch level: track_gtid_set reports the
+    batch's canonical executed set; re-applying into a FRESH table with
+    skip_gtids=<that set> drops every transaction (source-side resume
+    dedup), and a half set applies exactly the other half."""
+    from binlogsub_spark.config import EngineConfig
+    from binlogsub_spark.lake.table import LakeTable
+    from binlogsub_spark.mysql_binlog import binlog_files_to_frames
+    from binlogsub_spark.pipeline import apply_mysql_batch
+    from binlogsub_spark.sources.generator import (
+        GeneratorParams,
+        transcripts_table_maps,
+        write_mysql_binlog_files,
+    )
+
+    name_map: dict = {}
+    for tm in transcripts_table_maps().values():
+        name_map.setdefault((tm.db, tm.table), []).append(tm.columns)
+    params = GeneratorParams(n_events=800, n_convs=30, dup_tail=0)
+    d = str(tmp_path / "binlogs")
+    write_mysql_binlog_files(spark, d, params, checksum=True, gtids=True)
+    frames = binlog_files_to_frames(spark, d)
+
+    t1 = LakeTable(spark, str(tmp_path / "t1"), buckets=8)
+    m1 = apply_mysql_batch(
+        t1, frames, batch_id=1, cfg=EngineConfig(), name_map=name_map,
+        track_gtid_set=True,
+    )
+    assert m1["applied"] > 0
+    executed = parse_gtid_set(m1["gtid_executed"])
+    sid = "12121212-1212-1212-1212-121212121212"
+    assert sid in executed
+    # one transaction per change event -> a single dense interval
+    total_tx = sum(e - s + 1 for s, e in executed[sid])
+    assert total_tx == 800
+
+    # skip ALL -> nothing applies
+    t2 = LakeTable(spark, str(tmp_path / "t2"), buckets=8)
+    m2 = apply_mysql_batch(
+        t2, frames, batch_id=1, cfg=EngineConfig(), name_map=name_map,
+        skip_gtids=executed,
+    )
+    assert m2["applied"] == 0
+    # watermark still advances over skipped frames (server-side parity)
+    assert m2["snapshot_id"] is not None
+
+    # skip the FIRST HALF of gnos -> only later transactions apply
+    lo, hi = executed[sid][0][0], executed[sid][-1][1]
+    mid = (lo + hi) // 2
+    half = {sid: [(lo, mid)]}
+    t3 = LakeTable(spark, str(tmp_path / "t3"), buckets=8)
+    m3 = apply_mysql_batch(
+        t3, frames, batch_id=1, cfg=EngineConfig(), name_map=name_map,
+        skip_gtids=half, gtid_lineage=True,
+    )
+    assert 0 < m3["applied"] < m1["applied"]
+    gnos = [
+        int(r["gtid"].split(":")[1])
+        for r in t3.read().select("gtid").collect()
+    ]
+    assert gnos and all(g > mid for g in gnos)
+
+
+def test_stream_gtid_auto_position_frontier(spark, tmp_path):
+    """run_stream_mysql(gtid_auto_position=True) persists the cumulative
+    executed set across batches; a SECOND stream into a fresh table that
+    reuses the checkpoint's gtid_executed.txt applies nothing new."""
+    import os
+
+    from binlogsub_spark.config import EngineConfig
+    from binlogsub_spark.lake.table import LakeTable
+    from binlogsub_spark.pipeline import run_stream_mysql
+    from binlogsub_spark.sources.generator import (
+        GeneratorParams,
+        transcripts_table_maps,
+        write_mysql_binlog,
+    )
+
+    name_map: dict = {}
+    for tm in transcripts_table_maps().values():
+        name_map.setdefault((tm.db, tm.table), []).append(tm.columns)
+    src = str(tmp_path / "src")
+    spark_df_files = write_mysql_binlog(
+        spark, src, GeneratorParams(n_events=600, n_convs=20, dup_tail=0),
+        n_files=3, gtids=True,
+    )
+    table = LakeTable(spark, str(tmp_path / "tbl"), buckets=8)
+    ckpt = str(tmp_path / "ckpt")
+    q = run_stream_mysql(
+        spark, src, table, ckpt, cfg=EngineConfig(), name_map=name_map,
+        max_files_per_trigger=1, gtid_auto_position=True,
+    )
+    q.awaitTermination(300)
+    n1 = table.read().count()
+    assert n1 > 0
+    gpath = os.path.join(ckpt, "gtid_executed.txt")
+    assert os.path.exists(gpath)
+    frontier = parse_gtid_set(open(gpath).read())
+    sid = "12121212-1212-1212-1212-121212121212"
+    assert sum(e - s + 1 for s, e in frontier[sid]) == 600
+
+    # replay the same source into a FRESH table, resuming from the
+    # frontier (fresh checkpoint, seeded with the executed set): every
+    # transaction is already executed -> zero rows land
+    t2 = LakeTable(spark, str(tmp_path / "tbl2"), buckets=8)
+    ckpt2 = str(tmp_path / "ckpt2")
+    os.makedirs(ckpt2, exist_ok=True)
+    with open(os.path.join(ckpt2, "gtid_executed.txt"), "w") as f:
+        f.write(format_gtid_set(frontier))
+    q2 = run_stream_mysql(
+        spark, src, t2, ckpt2, cfg=EngineConfig(), name_map=name_map,
+        max_files_per_trigger=3, gtid_auto_position=True,
+    )
+    q2.awaitTermination(300)
+    assert t2.snapshot() is None or t2.read().count() == 0
