@@ -209,6 +209,38 @@ def q_cdc_props_json(spark, sf):
     )
 
 
+def _conv_turns(spark, sf):
+    """Transcripts-shaped turn rows derived from ``events``: one
+    conversation per user, turns ordered by (ts, event_id) — the exact
+    (conv_id, turn_idx, role, text) shape the lake tables hold."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        F.concat(F.lit("conv-"), F.col("user_id")).alias("conv_id"),
+        F.row_number().over(w).cast("long").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+    )
+
+
+def q_transcript_assemble(spark, sf):
+    """Conversation reassembly under stable turn ordering: one map-side-
+    combinable aggregation (sort_array over collected turn structs — no
+    window over the skewed conv key) renders the full dialog per conv."""
+    from binlogsub_spark.functions.transcripts import assemble_transcripts
+
+    return assemble_transcripts(_conv_turns(spark, sf))
+
+
+def q_transcript_windows(spark, sf):
+    """Overlapping training context windows (8 turns, 2 overlap) per
+    conversation — sequence+slice explode off one aggregation, no
+    self-join; the last window is short rather than duplicated."""
+    from binlogsub_spark.functions.transcripts import conversation_windows
+
+    return conversation_windows(_conv_turns(spark, sf), window_turns=8, overlap=2)
+
+
 _GTID_UUIDS = (
     "3e11fa47-71ca-11e1-9e33-c80aa9429562",
     "aaaaaaaa-bbbb-cccc-dddd-eeeeeeeeeeee",
@@ -1861,6 +1893,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_props_json": q_cdc_props_json,
         "cdc_gtid_executed_set": q_cdc_gtid_executed_set,
         "cdc_gtid_replay_filter": q_cdc_gtid_replay_filter,
+        "transcript_assemble": q_transcript_assemble,
+        "transcript_windows": q_transcript_windows,
         "cdc_pipeline_e2e": q_cdc_pipeline_e2e,
         "cdc_rebucket_e2e": q_cdc_rebucket_e2e,
         "cdc_incremental_view": q_cdc_incremental_view,
@@ -2096,6 +2130,48 @@ def oracle_sql() -> dict[str, str]:
                    event_id // 3 + 1 AS gno
             FROM events
             WHERE event_id % 97 <> 0 AND event_id % 2 = 1
+        """,
+        "transcript_assemble": """
+            WITH t AS (
+              SELECT 'conv-' || user_id AS conv_id,
+                     row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS turn_idx,
+                     event_type AS role, props AS text
+              FROM events
+            )
+            SELECT conv_id,
+                   count(*) AS n_turns,
+                   max(turn_idx) AS last_turn_idx,
+                   CAST(sum(length(text)) AS BIGINT) AS n_chars,
+                   string_agg(role || ': ' || text, chr(10)
+                              ORDER BY turn_idx) AS transcript
+            FROM t GROUP BY conv_id
+        """,
+        "transcript_windows": """
+            WITH t AS (
+              SELECT 'conv-' || user_id AS conv_id,
+                     row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS turn_idx,
+                     event_type AS role, props AS text
+              FROM events
+            ),
+            n AS (SELECT conv_id, count(*) AS n FROM t GROUP BY conv_id),
+            w AS (
+              SELECT conv_id, i AS start, (i - 1) // 6 AS window_idx
+              FROM n, UNNEST(generate_series(1, n, 6)) AS s(i)
+              WHERE i + 2 <= n OR i = 1
+            )
+            SELECT w.conv_id, w.window_idx,
+                   min(t.turn_idx) AS start_turn_idx,
+                   max(t.turn_idx) AS end_turn_idx,
+                   count(*) AS n_turns,
+                   string_agg(t.role || ': ' || t.text, chr(10)
+                              ORDER BY t.turn_idx) AS text
+            FROM w JOIN t ON t.conv_id = w.conv_id
+                         AND t.turn_idx BETWEEN w.start AND w.start + 7
+            GROUP BY w.conv_id, w.window_idx
         """,
         "cdc_windowed_metrics": """
             SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
