@@ -1247,6 +1247,43 @@ def q_cdc_pipeline_e2e(spark, sf):
     )
 
 
+def q_cdc_targeted_delete(spark, sf):
+    """Right-to-be-forgotten through the LWW merge, value-checked by
+    DuckDB: the full e2e replay lands first, then every conversation
+    whose conv_id ends in '3' is erased via LakeTable.delete_keys —
+    ordinary tombstones, bucket-pruned reads (the key set hashes to a
+    bucket list before a byte of the table is read). Oracle = the e2e
+    LWW replay minus the erased conversations."""
+    from binlogsub_spark.config import EngineConfig
+    from binlogsub_spark.lake.table import LakeTable
+    from binlogsub_spark.pipeline import apply_batch
+
+    flat = _events_as_flat_changes(spark, sf)
+    img = F.struct("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    envelope = flat.select(
+        "file_seq", "log_pos", "server_ts", "op", "db_name", "table_name",
+        "schema_version",
+        F.when(F.col("op") != "I", img).alias("before"),
+        F.when(F.col("op") != "D", img).alias("after"),
+    )
+    tmp = tempfile.mkdtemp(prefix="binlogsub_del_")
+    table = LakeTable(spark, os.path.join(tmp, "tbl"), buckets=16)
+    apply_batch(table, envelope, batch_id=1, cfg=EngineConfig(), persist_source=True)
+    doomed = [
+        r["conv_id"]
+        for r in table.read()
+        .select("conv_id")
+        .where(F.col("conv_id").endswith("3"))
+        .distinct()
+        .collect()
+    ]
+    table.delete_keys(doomed, batch_id=2)
+    return table.read().select(
+        "conv_id", F.col("turn_idx").cast("long").alias("turn_idx"),
+        "role", "text", "tool", "ts",
+    )
+
+
 def q_cdc_rebucket_e2e(spark, sf):
     """Online bucket rescaling mid-stream, value-checked by DuckDB: the
     first half of the change stream MERGEs into an 8-bucket table, the
@@ -1896,6 +1933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_assemble": q_transcript_assemble,
         "transcript_windows": q_transcript_windows,
         "cdc_pipeline_e2e": q_cdc_pipeline_e2e,
+        "cdc_targeted_delete": q_cdc_targeted_delete,
         "cdc_rebucket_e2e": q_cdc_rebucket_e2e,
         "cdc_incremental_view": q_cdc_incremental_view,
         "cdc_snapshot_bootstrap": q_cdc_snapshot_bootstrap,
@@ -2267,6 +2305,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
                    role, text, tool, ts
             FROM w WHERE rn = 1 AND op <> 'D'
+        """,
+        # the e2e replay minus the erased conversations — tombstones from
+        # delete_keys must hide every turn of a doomed conv and nothing else
+        "cdc_targeted_delete": f"""
+            WITH flat AS ({_FLAT_CHANGES_SQL}),
+            w AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY conv_id, turn_idx
+                ORDER BY ts DESC, file_seq DESC, log_pos DESC) AS rn
+              FROM flat
+            )
+            SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+                   role, text, tool, ts
+            FROM w WHERE rn = 1 AND op <> 'D' AND conv_id NOT LIKE '%3'
         """,
         # the rescale is invisible: same LWW replay as cdc_pipeline_e2e
         "cdc_rebucket_e2e": f"""

@@ -724,6 +724,73 @@ class LakeTable:
             return new
         return max(old, new, key=lambda w: (w["file_seq"], w["log_pos"]))
 
+    def delete_keys(self, keys, batch_id: int, key_col: str = "conv_id") -> dict:
+        """Targeted erasure (right-to-be-forgotten): tombstone every live
+        row whose ``key_col`` is in ``keys`` (a Python list or a
+        single-column DataFrame), through the NORMAL LWW MERGE — no
+        special-case table surgery, so replays, time travel, changelog
+        scans and downstream CDC feeds all see the deletion as ordinary
+        tombstones.
+
+        Scale shape: the key set hashes to a bucket list first (distinct
+        bucket ids — bounded by the table's bucket count, never by key
+        count), so a 10-conversation erasure reads ~10 buckets of a
+        10k-bucket table, not the table. The tombstone version stamp
+        keeps each row's own ``_ts`` and maxes out (``_file_seq``,
+        ``_log_pos``): the deletion wins against everything at-or-before
+        the row's timestamp, while a LATER source-side change (the
+        primary re-inserting the key) still legitimately wins over it.
+        Deterministic, so a replayed erasure batch is idempotent.
+
+        The reference has no deletion surface at all (it forwards D
+        events, business.cc; it cannot originate one) — this is lake-side
+        lifecycle the Spark engine adds."""
+        spark = self.spark
+        if isinstance(keys, (list, tuple, set)):
+            keys_df = spark.createDataFrame(
+                [(k,) for k in sorted(keys)], f"{key_col} string"
+            )
+        else:
+            keys_df = keys.select(key_col).distinct()
+        touched = sorted(
+            r["b"]
+            for r in keys_df.select(
+                bucket_expr(key_col, self.buckets).alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        snap = self.snapshot()
+        if snap is None:
+            raise ValueError(f"table {self.path} has no committed snapshot")
+        schema = self._schema(snap)
+        live = (
+            self.read_internal(buckets=touched)
+            .where(F.col("_op") != "D")
+            .join(F.broadcast(keys_df), key_col, "left_semi")
+        )
+        payload = [
+            f
+            for f in schema.fields
+            if f.name not in MERGE_KEY and f.name not in VERSION_COLUMNS
+        ]
+        tombstones = live.select(
+            *MERGE_KEY,
+            *[F.lit(None).cast(f.dataType).alias(f.name) for f in payload],
+            F.lit("D").alias("_op"),
+            F.col("_ts"),
+            F.lit(2**31 - 1).cast("int").alias("_file_seq"),
+            F.lit(2**63 - 1).cast("long").alias("_log_pos"),
+        )
+        # keys are unique live rows -> already reduced; the bucket list is
+        # exact (not a superset), so this is the one-pass merge
+        return self.merge(
+            tombstones,
+            batch_id=batch_id,
+            pre_reduced=True,
+            touched_buckets=touched,
+        )
+
     # ----------------------------------------------------------- lineage
     LINEAGE_ARROW_FIELDS = [
         ("batch_id", "int64"),

@@ -103,6 +103,12 @@ def main(argv: list[str] | None = None) -> int:
         help="with --changes: parquet output path for the change feed",
     )
     ap.add_argument(
+        "--delete-keys", default=None, metavar="K1,K2,...",
+        help="maintenance mode: instead of ingesting, erase the listed "
+        "conv_ids from --table (right-to-be-forgotten) as ordinary LWW "
+        "tombstones through one bucket-pruned MERGE. Prints a JSON summary.",
+    )
+    ap.add_argument(
         "--rebucket", type=int, default=None, metavar="N",
         help="maintenance mode: instead of ingesting, rescale --table to N "
         "CRC32 buckets as one atomic snapshot (k-aligned counts are an "
@@ -124,9 +130,23 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(r, default=str))
         spark.stop()
         return 0
+    if args.delete_keys is not None:
+        # maintenance mode: targeted erasure through the normal LWW merge
+        # (ordinary tombstones; batch_id defaults to current + 1)
+        table = LakeTable(spark, args.table, buckets=args.buckets)
+        snap = table.snapshot()
+        if snap is None:
+            ap.error("--delete-keys needs a committed table")
+        keys = [k for k in args.delete_keys.split(",") if k]
+        r = table.delete_keys(keys, batch_id=snap["batch_id"] + 1)
+        r["rows"] = table.read().count()
+        print(json.dumps(r, default=str))
+        spark.stop()
+        return 0
     if not args.source or not args.checkpoint:
         ap.error(
-            "--source and --checkpoint are required unless --changes/--rebucket"
+            "--source and --checkpoint are required unless "
+            "--changes/--rebucket/--delete-keys"
         )
     if args.generate:
         params = GeneratorParams(n_events=args.generate)

@@ -483,3 +483,56 @@ def test_merge_rejects_foreign_bucket_modulus(spark, tmp_path):
     with pytest.raises(ValueError, match="different bucket count"):
         table.merge(partials, batch_id=1, pre_reduced=True,
                     touched_buckets=[0, 3, 97])  # 97 >= 8
+
+
+def test_delete_keys_targeted_erasure(spark, tmp_path):
+    """delete_keys tombstones every turn of the doomed conversations and
+    nothing else, through the normal merge: changelog shows D rows,
+    replaying the erasure batch is a no-op, and a LATER source change on
+    an erased key legitimately resurrects it (LWW, not table surgery)."""
+    from pyspark.sql import functions as F
+
+    ev = generate_binlog(spark, GeneratorParams(n_events=3000, n_convs=60, dup_tail=0))
+    table = LakeTable(spark, str(tmp_path / "tbl"), buckets=16)
+    apply_batch(table, ev, batch_id=1, cfg=EngineConfig())
+    before = table.read().select("conv_id").distinct().count()
+    doomed = sorted(
+        r["conv_id"]
+        for r in table.read().select("conv_id").distinct().limit(7).collect()
+    )
+    pre_rows = table.read().count()
+    doomed_rows = table.read().where(F.col("conv_id").isin(doomed)).count()
+    snap_before = table.snapshot()["snapshot_id"]
+
+    m = table.delete_keys(doomed, batch_id=2)
+    assert m["applied"] == doomed_rows  # one tombstone per live turn
+    assert table.read().where(F.col("conv_id").isin(doomed)).count() == 0
+    assert table.read().count() == pre_rows - doomed_rows
+    assert table.read().select("conv_id").distinct().count() == before - len(doomed)
+
+    # the erasure is ordinary CDC: the changelog between the snapshots is
+    # exactly one D row per erased turn
+    ch = table.changes(snap_before).toPandas()
+    assert set(ch["change_op"]) == {"D"}
+    assert len(ch) == doomed_rows
+    assert set(ch["conv_id"]) == set(doomed)
+
+    # replaying the same erasure batch_id is a committed no-op
+    m2 = table.delete_keys(doomed, batch_id=2)
+    assert m2["replayed"] and table.read().count() == pre_rows - doomed_rows
+
+    # a LATER change from the source wins over the tombstone
+    later = spark.createDataFrame(
+        [(doomed[0], 0, "user", "re-added", None)],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    ).select(
+        "conv_id", "turn_idx", "role", "text", "tool",
+        F.current_timestamp().alias("ts"),
+        F.lit("I").alias("_op"),
+        (F.unix_timestamp() + 10**6).cast("timestamp").alias("_ts"),
+        F.lit(0).alias("_file_seq"), F.lit(0).cast("long").alias("_log_pos"),
+    )
+    table.merge(later, batch_id=3, pre_reduced=True)
+    assert (
+        table.read().where(F.col("conv_id") == doomed[0]).count() == 1
+    )
