@@ -129,6 +129,8 @@ class LakeTable:
         clobbering each other (single-writer-per-table is the deployment
         contract, as with Iceberg's metastore swap; this guard turns a
         violated contract into an error, not corruption)."""
+        import time
+
         os.makedirs(self.manifest_dir, exist_ok=True)
         name = f"snap-{manifest['snapshot_id']:08d}.json"
         cur = self.snapshot()
@@ -137,6 +139,7 @@ class LakeTable:
                 f"concurrent commit detected: snapshot {manifest['snapshot_id']}"
                 f" already superseded by {cur['snapshot_id']}"
             )
+        manifest["committed_at"] = time.time()  # wall clock of the publish
         with open(os.path.join(self.manifest_dir, name), "x") as f:
             json.dump(manifest, f, indent=1, default=str)
         tmp = self._current_pointer() + f".tmp-{uuid.uuid4().hex}"
@@ -647,7 +650,7 @@ class LakeTable:
                 str(b): None for b in range(self.buckets)
             }
             commit_rel = f"commit-{snapshot_id:08d}"
-            applied, n_winners = 0, (None if one_pass else 0)
+            applied, n_winners, batch_max_ts = 0, (None if one_pass else 0), None
             if touched:
                 obs = Observation(f"merge-{batch_id}")
                 out_cols = [
@@ -659,6 +662,11 @@ class LakeTable:
                     obs,
                     F.count(F.when(F.col("_origin") == -1, 1)).alias("applied"),
                     F.count("*").alias("live_rows"),
+                    # event-time frontier of THIS batch's winners — rides
+                    # the write job, no separate max() job
+                    F.max(
+                        F.when(F.col("_origin") == -1, F.col("_ts"))
+                    ).alias("max_event_ts"),
                 ).select(*out_cols, "_bucket")
                 (
                     # already bucket-colocated by the merge shuffle: each
@@ -669,6 +677,7 @@ class LakeTable:
                     .parquet(os.path.join(self.data_dir, commit_rel))
                 )
                 applied = obs.get["applied"]
+                batch_max_ts = obs.get["max_event_ts"]
                 # one-pass mode never materializes `winners` separately, so
                 # the pre-reduce winner count (a diagnostic, not a contract
                 # metric — applied/skipped come from the Observation and the
@@ -697,7 +706,14 @@ class LakeTable:
                 "watermark": self._advance_watermark(
                     (snap or {}).get("watermark"), watermark
                 ),
-                "metrics": {"applied": applied, "upsert_keys": n_winners},
+                "metrics": {
+                    "applied": applied,
+                    "upsert_keys": n_winners,
+                    "max_event_ts": self._advance_event_ts(
+                        (snap or {}).get("metrics", {}).get("max_event_ts"),
+                        batch_max_ts,
+                    ),
+                },
             }
             self._commit(manifest)
             return {
@@ -723,6 +739,47 @@ class LakeTable:
         if not old:
             return new
         return max(old, new, key=lambda w: (w["file_seq"], w["log_pos"]))
+
+    @staticmethod
+    def _advance_event_ts(old, new):
+        """Monotone event-time frontier: ISO text in the manifest when
+        ``_ts`` is a timestamp (the engine's envelope), the raw value for
+        tables whose version column is numeric; never regresses on
+        replays/empty batches."""
+        if new is None:
+            return old
+        if hasattr(new, "isoformat"):
+            new = new.isoformat()
+        return max(old, new) if old is not None else new
+
+    def freshness(self) -> dict:
+        """Ingest-lag observability, manifest-only (no Spark job): how far
+        the committed event-time frontier trails wall clock. ``lag ==
+        committed_at - max_event_ts`` is end-to-end staleness — source
+        event time to durable lake visibility — the number an SLO on a
+        CDC pipeline actually bounds (a watermark alone measures log
+        position, not time)."""
+        from datetime import datetime
+
+        snap = self.snapshot()
+        if snap is None:
+            raise ValueError(f"table {self.path} has no committed snapshot")
+        max_ts = snap.get("metrics", {}).get("max_event_ts")
+        committed = snap.get("committed_at")
+        lag = None
+        if isinstance(max_ts, str) and committed is not None:
+            try:
+                lag = committed - datetime.fromisoformat(max_ts).timestamp()
+            except ValueError:
+                pass  # non-ISO frontier (numeric _ts table): no time lag
+        return {
+            "snapshot_id": snap["snapshot_id"],
+            "batch_id": snap["batch_id"],
+            "watermark": snap.get("watermark"),
+            "committed_at": committed,
+            "max_event_ts": max_ts,
+            "ingest_lag_seconds": lag,
+        }
 
     def delete_keys(self, keys, batch_id: int, key_col: str = "conv_id") -> dict:
         """Targeted erasure (right-to-be-forgotten): tombstone every live

@@ -103,6 +103,11 @@ def main(argv: list[str] | None = None) -> int:
         help="with --changes: parquet output path for the change feed",
     )
     ap.add_argument(
+        "--freshness", action="store_true",
+        help="maintenance mode: print the table's ingest-lag summary "
+        "(event-time frontier vs commit wall clock) as JSON and exit",
+    )
+    ap.add_argument(
         "--delete-keys", default=None, metavar="K1,K2,...",
         help="maintenance mode: instead of ingesting, erase the listed "
         "conv_ids from --table (right-to-be-forgotten) as ordinary LWW "
@@ -128,6 +133,11 @@ def main(argv: list[str] | None = None) -> int:
         r = table.rebucket(args.rebucket)
         r["rows"] = table.read().count()
         print(json.dumps(r, default=str))
+        spark.stop()
+        return 0
+    if args.freshness:
+        table = LakeTable(spark, args.table, buckets=args.buckets)
+        print(json.dumps(table.freshness(), default=str))
         spark.stop()
         return 0
     if args.delete_keys is not None:

@@ -536,3 +536,40 @@ def test_delete_keys_targeted_erasure(spark, tmp_path):
     assert (
         table.read().where(F.col("conv_id") == doomed[0]).count() == 1
     )
+
+
+def test_freshness_event_time_frontier(spark, tmp_path):
+    """The manifest carries a monotone event-time frontier (max applied
+    _ts, riding the merge Observation) and a commit wall clock;
+    freshness() derives ingest lag without launching a job. Replays and
+    older-than-state batches never regress the frontier."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    ev = generate_binlog(spark, GeneratorParams(n_events=2000, n_convs=40, dup_tail=0))
+    table = LakeTable(spark, str(tmp_path / "tbl"), buckets=8)
+    t0 = _time.time()
+    apply_batch(table, ev, batch_id=1, cfg=EngineConfig())
+    fr = table.freshness()
+    assert fr["snapshot_id"] == 1 and fr["committed_at"] >= t0
+    # frontier equals the max event ts actually applied (the envelope's
+    # row image carries the event time; D rows use the before image)
+    max_ts = ev.agg(
+        F.max(F.coalesce(F.col("after.ts"), F.col("before.ts")))
+    ).collect()[0][0]
+    from datetime import datetime
+
+    assert datetime.fromisoformat(fr["max_event_ts"]) == max_ts
+    assert fr["ingest_lag_seconds"] is not None
+
+    # replaying the same batch is a no-op commit: frontier unchanged
+    apply_batch(table, ev, batch_id=1, cfg=EngineConfig())
+    assert table.freshness()["max_event_ts"] == fr["max_event_ts"]
+
+    # a new batch that loses LWW everywhere (identical content replayed
+    # as batch 2) must not regress or falsely advance the frontier
+    apply_batch(table, ev, batch_id=2, cfg=EngineConfig())
+    fr2 = table.freshness()
+    assert fr2["max_event_ts"] == fr["max_event_ts"]
+    assert fr2["snapshot_id"] > fr["snapshot_id"]
