@@ -1710,23 +1710,19 @@ def q_cdc_multi_table_route(spark, sf):
     return parts[0].unionByName(parts[1])
 
 
-def q_cdc_outbound_debezium(spark, sf):
-    """OUTBOUND CDC round trip, value-checked by DuckDB: the change stream
-    MERGEs into a source lake table in two micro-batches; after each, the
-    changelog (`changes(include_before=True)`) is encoded to Debezium-JSON
-    value documents (`changes_to_debezium`), decoded back
-    (`decode_debezium`), and MERGE-applied to a mirror table — the
-    subscriber path a downstream team would run. The mirror's final state
-    must equal the full-replay LWW (same oracle as cdc_pipeline_e2e):
-    equality proves encode->decode->apply loses nothing, including
-    deletes (the d-record carries the tombstone's version stamp)."""
+def _outbound_roundtrip(spark, sf, encode, decode):
+    """Shared OUTBOUND CDC round-trip harness: the change stream MERGEs
+    into a source lake table in two micro-batches; after each, the
+    changelog (`changes(include_before=True)`) is encoded to the dialect
+    under test, decoded back, and MERGE-applied to a mirror table — the
+    subscriber path a downstream team would run. The mirror's final
+    state must equal the full-replay LWW (same oracle as
+    cdc_pipeline_e2e): equality proves encode->decode->apply loses
+    nothing, including deletes (the D record carries the tombstone's
+    version stamp)."""
     from binlogsub_spark.config import EngineConfig
     from binlogsub_spark.lake.table import LakeTable
     from binlogsub_spark.pipeline import apply_batch
-    from binlogsub_spark.sources.debezium import (
-        changes_to_debezium,
-        decode_debezium,
-    )
 
     flat = _events_as_flat_changes(spark, sf)
     img = F.struct("conv_id", "turn_idx", "role", "text", "tool", "ts")
@@ -1747,17 +1743,49 @@ def q_cdc_outbound_debezium(spark, sf):
 
     mirror = LakeTable(spark, os.path.join(tmp, "mirror"), buckets=16)
     for i, (lo, hi) in enumerate([(None, s1), (s1, s2)]):
-        feed = changes_to_debezium(
+        feed = encode(
             src.changes(lo, hi, include_before=True),
             db_name="test", table_name="transcripts",
         )
-        apply_batch(
-            mirror, decode_debezium(feed.select("value")), i + 1, cfg,
-            persist_source=True,
-        )
+        apply_batch(mirror, decode(feed), i + 1, cfg, persist_source=True)
     return mirror.read().select(
         "conv_id", F.col("turn_idx").cast("long").alias("turn_idx"),
         "role", "text", "tool", "ts",
+    )
+
+
+def q_cdc_outbound_debezium(spark, sf):
+    """Debezium-dialect OUTBOUND round trip (see _outbound_roundtrip)."""
+    from binlogsub_spark.sources.debezium import (
+        changes_to_debezium,
+        decode_debezium,
+    )
+
+    return _outbound_roundtrip(
+        spark, sf, changes_to_debezium,
+        lambda feed: decode_debezium(feed.select("value")),
+    )
+
+
+def q_cdc_outbound_canal(spark, sf):
+    """Canal-flatMessage OUTBOUND round trip: the flat format carries no
+    binlog position, so the framing columns outside the JSON provide the
+    LWW ordering (see _outbound_roundtrip)."""
+    from binlogsub_spark.sources.canal import decode_canal
+    from binlogsub_spark.sources.outbound import changes_to_canal
+
+    return _outbound_roundtrip(spark, sf, changes_to_canal, decode_canal)
+
+
+def q_cdc_outbound_maxwell(spark, sf):
+    """Maxwell-record OUTBOUND round trip: binlog position rides in-band
+    as position "mysql-bin.NNNNNN:pos" (see _outbound_roundtrip)."""
+    from binlogsub_spark.sources.maxwell import decode_maxwell
+    from binlogsub_spark.sources.outbound import changes_to_maxwell
+
+    return _outbound_roundtrip(
+        spark, sf, changes_to_maxwell,
+        lambda feed: decode_maxwell(feed.select("value")),
     )
 
 
@@ -1939,6 +1967,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_snapshot_bootstrap": q_cdc_snapshot_bootstrap,
         "cdc_multi_table_route": q_cdc_multi_table_route,
         "cdc_outbound_debezium": q_cdc_outbound_debezium,
+        "cdc_outbound_canal": q_cdc_outbound_canal,
+        "cdc_outbound_maxwell": q_cdc_outbound_maxwell,
         "cdc_txn_atomic_ingest": q_cdc_txn_atomic_ingest,
         "cdc_mysql_pipeline_e2e": q_cdc_mysql_pipeline_e2e,
         "cdc_mysql_row_decode": q_cdc_mysql_row_decode,
@@ -2375,6 +2405,31 @@ def oracle_sql() -> dict[str, str]:
         # the outbound feed must replay to the full-replay LWW state —
         # same oracle as cdc_pipeline_e2e
         "cdc_outbound_debezium": f"""
+            WITH flat AS ({_FLAT_CHANGES_SQL}),
+            w AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY conv_id, turn_idx
+                ORDER BY ts DESC, file_seq DESC, log_pos DESC) AS rn
+              FROM flat
+            )
+            SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+                   role, text, tool, ts
+            FROM w WHERE rn = 1 AND op <> 'D'
+        """,
+        # canal/maxwell dialects must replay to the same state
+        "cdc_outbound_canal": f"""
+            WITH flat AS ({_FLAT_CHANGES_SQL}),
+            w AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY conv_id, turn_idx
+                ORDER BY ts DESC, file_seq DESC, log_pos DESC) AS rn
+              FROM flat
+            )
+            SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+                   role, text, tool, ts
+            FROM w WHERE rn = 1 AND op <> 'D'
+        """,
+        "cdc_outbound_maxwell": f"""
             WITH flat AS ({_FLAT_CHANGES_SQL}),
             w AS (
               SELECT *, row_number() OVER (

@@ -328,6 +328,10 @@ def run_bench(sf_dir: str, cpus: int, ingest_events: int | None = None) -> dict:
         "text_quality_score",
         "text_fingerprint",
         "multimodal_decode_features",
+        "multimodal_audio_features",
+        "transcript_assemble",
+        "transcript_windows",
+        "cdc_gtid_executed_set",
     ]
     qs = entry.queries()
     for name in suite:

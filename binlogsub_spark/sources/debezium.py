@@ -220,36 +220,9 @@ def changes_to_debezium(
     ``changes()`` scan stays the only data movement; encoding rides in the
     same stage (whole-stage codegen, no shuffle added).
     """
-    payload = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
-    after_img = F.when(
-        F.col("change_op") != "D",
-        F.struct(*[F.col(c).alias(c) for c in payload]),
+    from binlogsub_spark.sources.outbound import changes_to_envelope
+
+    return envelope_to_debezium_json(
+        changes_to_envelope(changes_df, db_name, table_name),
+        connector_name=connector_name,
     )
-    # D image ts = the DELETE's version stamp, not the removed row's ts: in
-    # this engine image ts IS the LWW version, so an out-of-order delete
-    # that originally won on ts must re-win on ts when the feed is replayed
-    before_img = F.when(F.col("change_op") == "D",
-        F.struct(
-            *[F.col(c).alias(c) for c in payload[:-1]],
-            F.col("_ts").alias("ts"),
-        ),
-    ).when(
-        F.col("change_op") == "U",
-        F.struct(
-            F.col("conv_id").alias("conv_id"),
-            F.col("turn_idx").alias("turn_idx"),
-            *[F.col(f"_before_{c}").alias(c) for c in payload[2:]],
-        ),
-    )
-    env = changes_df.select(
-        F.col("_file_seq").alias("file_seq"),
-        F.col("_log_pos").alias("log_pos"),
-        F.col("_ts").alias("server_ts"),
-        F.col("change_op").alias("op"),
-        F.lit(db_name).alias("db_name"),
-        F.lit(table_name).alias("table_name"),
-        F.lit(2).cast("int").alias("schema_version"),
-        before_img.alias("before"),
-        after_img.alias("after"),
-    )
-    return envelope_to_debezium_json(env, connector_name=connector_name)

@@ -120,3 +120,30 @@ def test_outbound_deletes_propagate(spark, tmp_path):
         r = d.first()
         assert r["before"] is not None and r["after"] is None
         assert r["before"]["conv_id"] is not None
+
+
+def test_outbound_canal_and_maxwell_round_trip(spark, tmp_path):
+    """The same changelog replays identically through the Canal and
+    Maxwell dialects (framing outside the JSON for canal, in-band
+    position for maxwell)."""
+    from binlogsub_spark.sources.canal import decode_canal
+    from binlogsub_spark.sources.maxwell import decode_maxwell
+    from binlogsub_spark.sources.outbound import changes_to_canal, changes_to_maxwell
+
+    t, s1, s2 = _build(spark, tmp_path)
+    for name, enc, dec in [
+        ("canal", changes_to_canal, decode_canal),
+        ("maxwell", changes_to_maxwell,
+         lambda feed: decode_maxwell(feed.select("value"))),
+    ]:
+        mirror = LakeTable(spark, str(tmp_path / f"mirror_{name}"), buckets=8)
+        for i, (lo, hi) in enumerate([(None, s1), (s1, s2)]):
+            feed = enc(
+                t.changes(lo, hi, include_before=True),
+                db_name="test", table_name="transcripts",
+            )
+            apply_batch(mirror, dec(feed), batch_id=i + 1, cfg=EngineConfig())
+        src = t.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+        dst = mirror.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+        assert src.exceptAll(dst).count() == 0, name
+        assert dst.exceptAll(src).count() == 0, name
