@@ -122,13 +122,19 @@ class LakeTable:
                 out.append(json.load(f))
         return out
 
-    def _commit(self, manifest: dict) -> None:
+    def _commit(self, manifest: dict, publish: bool = True) -> None:
         """Atomic snapshot publish with optimistic concurrency: the manifest
         file create is exclusive ('x' mode), so two writers racing to
         publish the same snapshot_id fail loudly instead of silently
         clobbering each other (single-writer-per-table is the deployment
         contract, as with Iceberg's metastore swap; this guard turns a
-        violated contract into an error, not corruption)."""
+        violated contract into an error, not corruption).
+
+        ``publish=False`` stages the snapshot (write-audit-publish): the
+        manifest lands on disk marked ``staged`` but CURRENT does not
+        move — readers keep seeing the prior state until
+        :meth:`publish_staged` swaps the pointer (or
+        :meth:`abort_staged` discards the data)."""
         import time
 
         os.makedirs(self.manifest_dir, exist_ok=True)
@@ -140,12 +146,57 @@ class LakeTable:
                 f" already superseded by {cur['snapshot_id']}"
             )
         manifest["committed_at"] = time.time()  # wall clock of the publish
+        if not publish:
+            manifest["staged"] = True
         with open(os.path.join(self.manifest_dir, name), "x") as f:
             json.dump(manifest, f, indent=1, default=str)
+        if publish:
+            self._swap_current(name)
+
+    def _swap_current(self, name: str) -> None:
         tmp = self._current_pointer() + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             f.write(name)
         os.replace(tmp, self._current_pointer())  # atomic swap
+
+    # ------------------------------------------------ write-audit-publish
+    def publish_staged(self, snapshot_id: int) -> dict:
+        """Make a staged snapshot CURRENT (the audit passed). Validates the
+        staged snapshot still extends the current state — if another
+        writer published in between, this raises instead of silently
+        dropping their commit. The manifest is rewritten without the
+        ``staged`` marker, then the pointer swaps atomically."""
+        m = self.snapshot(snapshot_id)
+        if m is None or not m.get("staged"):
+            raise ValueError(f"snapshot {snapshot_id} is not a staged snapshot")
+        cur = self.snapshot()
+        cur_id = cur["snapshot_id"] if cur else None
+        if m.get("parent") != cur_id:
+            raise RuntimeError(
+                f"staged snapshot {snapshot_id} has parent {m.get('parent')} "
+                f"but CURRENT is {cur_id}: another commit landed during audit"
+            )
+        m.pop("staged")
+        name = f"snap-{snapshot_id:08d}.json"
+        tmp = os.path.join(self.manifest_dir, f".{name}.tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1, default=str)
+        os.replace(tmp, os.path.join(self.manifest_dir, name))
+        self._swap_current(name)
+        return m
+
+    def abort_staged(self, snapshot_id: int) -> None:
+        """Discard a staged snapshot (the audit failed): delete its
+        manifest and its commit directory. CURRENT never pointed at it,
+        so readers are untouched."""
+        import shutil
+
+        m = self.snapshot(snapshot_id)
+        if m is None or not m.get("staged"):
+            raise ValueError(f"snapshot {snapshot_id} is not a staged snapshot")
+        commit_rel = f"commit-{snapshot_id:08d}"
+        shutil.rmtree(os.path.join(self.data_dir, commit_rel), ignore_errors=True)
+        os.remove(os.path.join(self.manifest_dir, f"snap-{snapshot_id:08d}.json"))
 
     # -------------------------------------------------------------- schema
     def _schema(self, snap: dict) -> T.StructType:
@@ -529,6 +580,7 @@ class LakeTable:
         watermark: dict | None = None,
         pre_reduced: bool = False,
         touched_buckets: list[int] | None = None,
+        publish: bool = True,
     ) -> dict:
         """MERGE INTO … USING upserts ON (conv_id, turn_idx) with LWW.
 
@@ -560,6 +612,13 @@ class LakeTable:
 
         Applied/skipped metrics ride the write job via Observation — the
         merge never runs a separate metrics join or count over the data.
+
+        ``publish=False`` runs the full merge but STAGES the snapshot
+        (write-audit-publish): data and manifest land on disk, CURRENT
+        does not move. Audit the staged state with
+        ``read(snapshot_id=...)`` / ``changes(...)``, then
+        :meth:`publish_staged` or :meth:`abort_staged`. Exactly one
+        staged snapshot can be in flight (the next snapshot id is taken).
         """
         snap = self.snapshot()
         if snap is not None and batch_id <= snap["batch_id"]:
@@ -715,7 +774,7 @@ class LakeTable:
                     ),
                 },
             }
-            self._commit(manifest)
+            self._commit(manifest, publish=publish)
             return {
                 "applied": applied,
                 "superseded": (
@@ -723,6 +782,7 @@ class LakeTable:
                 ),
                 "replayed": False,
                 "snapshot_id": snapshot_id,
+                **({} if publish else {"staged": True}),
             }
         finally:
             if not one_pass:

@@ -96,11 +96,22 @@ def apply_batch(
     cfg: EngineConfig | None = None,
     persist_source: bool = False,
     stage_timings: dict | None = None,
+    audit=None,
 ) -> dict:
     """One micro-batch: returns metrics incl. applied/skipped accounting
     (T2-T4 — the reference checkpoints before each row,
     /root/reference/packet.cc:207-210; we commit offsets atomically WITH
     the merge by writing them into the same snapshot manifest).
+
+    ``audit`` (write-audit-publish): a callable ``(table, staged_snapshot
+    _id) -> bool``. When given, the merge STAGES its snapshot instead of
+    publishing; the audit inspects the staged state (``table.read(
+    snapshot_id=...)``, ``table.changes(...)``) while readers still see
+    the prior snapshot. True -> the snapshot publishes atomically;
+    False -> it is aborted (data + manifest deleted) and this raises
+    ValueError so the stream's supervisor decides — a poisoned batch
+    never becomes visible. The IBusiness-callback extension point
+    (§2.8), moved to where a lake engine needs it: the commit gate.
 
     The per-file_seq lineage job reads ONLY (file_seq, log_pos, key) — for
     a columnar source that scan is column-pruned and nearly free — and the
@@ -165,7 +176,17 @@ def apply_batch(
             watermark=watermark,
             pre_reduced=True,
             touched_buckets=touched,
+            publish=audit is None,
         )
+        if audit is not None and not res["replayed"]:
+            if audit(table, res["snapshot_id"]):
+                table.publish_staged(res["snapshot_id"])
+            else:
+                table.abort_staged(res["snapshot_id"])
+                raise ValueError(
+                    f"audit rejected batch {batch_id} (staged snapshot "
+                    f"{res['snapshot_id']} aborted; table state unchanged)"
+                )
         if stage_timings is not None:
             stage_timings["lineage_sec"] = round(_t1 - _t0, 3)
             stage_timings["merge_sec"] = round(_time.time() - _t1, 3)

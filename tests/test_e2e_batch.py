@@ -573,3 +573,69 @@ def test_freshness_event_time_frontier(spark, tmp_path):
     fr2 = table.freshness()
     assert fr2["max_event_ts"] == fr["max_event_ts"]
     assert fr2["snapshot_id"] > fr["snapshot_id"]
+
+
+def test_write_audit_publish(spark, tmp_path):
+    """publish=False stages a merge invisibly; the staged snapshot is
+    readable by id for auditing; publish makes it CURRENT atomically;
+    abort deletes data+manifest and frees the snapshot id."""
+    ev = generate_binlog(spark, GeneratorParams(n_events=1500, n_convs=30, dup_tail=0))
+    table = LakeTable(spark, str(tmp_path / "tbl"), buckets=8)
+    n = 1500
+    half = ev.where(ev.delivery_seq < n // 2)
+    rest = ev.where(ev.delivery_seq >= n // 2)
+    apply_batch(table, half, batch_id=1, cfg=EngineConfig())
+    base_rows = table.read().count()
+    s1 = table.snapshot()["snapshot_id"]
+
+    from binlogsub_spark.pipeline import prepare_upserts
+    from binlogsub_spark.operators.dedup import partial_lww_reduce
+
+    cfg = EngineConfig()
+    up = partial_lww_reduce(prepare_upserts(rest, cfg), salt=cfg.skew_salt)
+    res = table.merge(up, batch_id=2, publish=False)
+    assert res["staged"]
+    sid = res["snapshot_id"]
+    # readers still see the pre-merge state; the staged state is auditable
+    assert table.snapshot()["snapshot_id"] == s1
+    assert table.read().count() == base_rows
+    staged_rows = table.read(snapshot_id=sid).count()
+    assert staged_rows != base_rows
+
+    table.publish_staged(sid)
+    assert table.snapshot()["snapshot_id"] == sid
+    assert table.read().count() == staged_rows
+    import pytest
+
+    with pytest.raises(ValueError):
+        table.publish_staged(sid)  # no longer staged
+
+
+def test_audit_gate_accepts_and_rejects(spark, tmp_path):
+    """apply_batch(audit=...): a rejecting audit aborts the staged
+    snapshot (table state unchanged, id reusable); an accepting audit
+    publishes; the whole flow is the WAP commit gate."""
+    import pytest
+
+    ev = generate_binlog(spark, GeneratorParams(n_events=1000, n_convs=20, dup_tail=0))
+    table = LakeTable(spark, str(tmp_path / "tbl"), buckets=8)
+    apply_batch(table, ev.where(ev.delivery_seq < 500), 1, EngineConfig())
+    s1 = table.snapshot()["snapshot_id"]
+    rows1 = table.read().count()
+
+    tail = ev.where(ev.delivery_seq >= 500)
+    with pytest.raises(ValueError, match="audit rejected"):
+        apply_batch(
+            table, tail, 2, EngineConfig(),
+            audit=lambda t, sid: False,
+        )
+    assert table.snapshot()["snapshot_id"] == s1
+    assert table.read().count() == rows1
+
+    seen = {}
+    apply_batch(
+        table, tail, 2, EngineConfig(),
+        audit=lambda t, sid: seen.setdefault("sid", sid) or True,
+    )
+    assert table.snapshot()["snapshot_id"] == seen["sid"]
+    assert table.read().count() != rows1
