@@ -61,9 +61,19 @@ def bucket_expr(col, buckets: int):
     whole-stage-codegen Spark expression AND as a vectorized numpy kernel
     (codec.crc32_of_fixed) — the raw wire path derives the touched-bucket
     set INSIDE its Arrow kernel and ships only distinct bucket ids to the
-    JVM, so the two sides must agree bit-for-bit on every key."""
+    JVM, so the two sides must agree bit-for-bit on every key.
+
+    A NULL key hashes like the empty string instead of propagating NULL:
+    a NULL _bucket would otherwise write a ``_bucket=None`` partition
+    that corrupts the table layout (and a null merge key must stay
+    MERGEABLE so a write-audit-publish guard can inspect and reject the
+    staged batch, rather than the write crashing half-done). The numpy
+    side never sees NULL (wire frames always carry key bytes), so dual
+    computability is preserved."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.pmod(F.crc32(F.encode(c, "UTF-8")), F.lit(buckets)).cast("int")
+    return F.pmod(
+        F.crc32(F.encode(F.coalesce(c, F.lit("")), "UTF-8")), F.lit(buckets)
+    ).cast("int")
 
 
 class LakeTable:

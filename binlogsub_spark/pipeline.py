@@ -367,6 +367,7 @@ def run_stream(
     source_schema: T.StructType | None = None,
     liveness=None,
     views: list | None = None,
+    audit=None,
 ):
     """Structured Streaming over the binlog event table.
 
@@ -391,6 +392,13 @@ def run_stream(
     delta-driven (dirty groups only) and idempotent on the source snapshot
     id, so a checkpoint-replayed batch (merge no-op, snapshot unchanged)
     leaves the views untouched.
+
+    ``audit``: write-audit-publish commit gate, forwarded to
+    :func:`apply_batch` — every micro-batch stages, is audited, and only
+    then publishes (see :mod:`binlogsub_spark.audits` for built-in
+    guards). A rejected batch aborts its staged snapshot and fails the
+    query; the supervisor restarts from checkpoint with the table
+    unchanged.
     """
     cfg = cfg or EngineConfig()
     if source_schema is None:
@@ -420,7 +428,7 @@ def run_stream(
     )
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        m = apply_batch(table, batch_df, batch_id, cfg)
+        m = apply_batch(table, batch_df, batch_id, cfg, audit=audit)
         for v in views or ():
             v.refresh()
         if monitor is not None:

@@ -103,6 +103,13 @@ def main(argv: list[str] | None = None) -> int:
         help="with --changes: parquet output path for the change feed",
     )
     ap.add_argument(
+        "--audit-max-drop", type=float, default=None, metavar="FRAC",
+        help="structured mode: write-audit-publish gate — stage every "
+        "micro-batch and refuse to publish one that shrinks the live "
+        "table by more than FRAC (0..1); a rejected batch aborts with "
+        "the table unchanged",
+    )
+    ap.add_argument(
         "--freshness", action="store_true",
         help="maintenance mode: print the table's ingest-lag summary "
         "(event-time frontier vs commit wall clock) as JSON and exit",
@@ -218,6 +225,12 @@ def main(argv: list[str] | None = None) -> int:
         from binlogsub_spark.pipeline import run_stream_canal as runner
     elif args.maxwell:
         from binlogsub_spark.pipeline import run_stream_maxwell as runner
+    if args.audit_max_drop is not None:
+        if runner is not run_stream:
+            ap.error("--audit-max-drop is only wired for structured mode")
+        from binlogsub_spark.audits import row_count_guard
+
+        extra_kw["audit"] = row_count_guard(args.audit_max_drop)
     q = runner(
         spark,
         args.source,
