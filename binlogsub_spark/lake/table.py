@@ -980,9 +980,18 @@ class LakeTable:
                 os.remove(os.path.join(self.manifest_dir, n))
         return {"removed_dirs": removed, "kept_snapshots": len(keep)}
 
-    def compact(self) -> dict:
+    def compact(self, cluster_by: tuple = ("conv_id", "turn_idx")) -> dict:
         """Rewrite all live buckets into a single commit dir — bounds the
-        number of commit dirs a read must union (small-files problem)."""
+        number of commit dirs a read must union (small-files problem).
+
+        ``cluster_by`` sorts rows WITHIN each bucket file before the
+        rewrite (default: the merge key). Clustered files get parquet
+        row-group min/max statistics that actually discriminate — a
+        point lookup on ``conv_id`` prunes to one row group instead of
+        scanning the bucket — and sorted keys compress markedly better.
+        The sort is partition-local (``sortWithinPartitions`` after the
+        bucket colocation), no extra exchange. Pass ``cluster_by=None``
+        to skip (fastest possible compaction)."""
         snap = self.snapshot()
         if snap is None:
             raise ValueError("compact() on a table with no snapshot")
@@ -990,8 +999,11 @@ class LakeTable:
         df = self.read_internal()
         snapshot_id = snap["snapshot_id"] + 1
         commit_rel = f"commit-{snapshot_id:08d}"
+        colocated = df.repartition(self.buckets, "_bucket")
+        if cluster_by:
+            colocated = colocated.sortWithinPartitions(*cluster_by)
         (
-            df.repartition(self.buckets, "_bucket")
+            colocated
             .write.partitionBy("_bucket")
             .mode("overwrite")
             .parquet(os.path.join(self.data_dir, commit_rel))

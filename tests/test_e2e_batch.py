@@ -639,3 +639,25 @@ def test_audit_gate_accepts_and_rejects(spark, tmp_path):
     )
     assert table.snapshot()["snapshot_id"] == seen["sid"]
     assert table.read().count() != rows1
+
+
+def test_compaction_clusters_rows(spark, tmp_path):
+    """compact() writes each bucket file sorted by the merge key (row
+    groups get discriminating min/max stats; a point lookup prunes)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    ev = generate_binlog(spark, GeneratorParams(n_events=2000, dup_tail=0))
+    table = LakeTable(spark, str(tmp_path / "tbl"), buckets=4)
+    apply_batch(table, ev, batch_id=1)
+    table.compact()
+    commit = sorted(
+        {v for v in table.snapshot()["bucket_locations"].values() if v}
+    )[0]
+    files = glob.glob(str(tmp_path / "tbl" / "data" / commit / "*" / "*.parquet"))
+    assert files
+    for f in files:
+        t = pq.read_table(f, columns=["conv_id", "turn_idx"]).to_pandas()
+        keys = list(zip(t["conv_id"], t["turn_idx"]))
+        assert keys == sorted(keys), f
