@@ -1284,6 +1284,35 @@ def q_cdc_targeted_delete(spark, sf):
     )
 
 
+def q_cdc_backfill_column(spark, sf):
+    """Derived-column backfill at rest, value-checked by DuckDB: the e2e
+    replay lands, then LakeTable.backfill adds text_len = length(text)
+    to every live row as one atomic snapshot (one bucket-colocated
+    rewrite — the derivation rides the scan, no join). Oracle = the e2e
+    LWW replay with the same expression."""
+    from binlogsub_spark.config import EngineConfig
+    from binlogsub_spark.lake.table import LakeTable
+    from binlogsub_spark.pipeline import apply_batch
+
+    flat = _events_as_flat_changes(spark, sf)
+    img = F.struct("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    envelope = flat.select(
+        "file_seq", "log_pos", "server_ts", "op", "db_name", "table_name",
+        "schema_version",
+        F.when(F.col("op") == "D", img).alias("before"),
+        F.when(F.col("op") != "D", img).alias("after"),
+    )
+    tmp = tempfile.mkdtemp(prefix="binlogsub_bf_")
+    table = LakeTable(spark, os.path.join(tmp, "tbl"), buckets=16)
+    apply_batch(table, envelope, batch_id=1, cfg=EngineConfig(), persist_source=True)
+    table.backfill("text_len", "length(text)")
+    return table.read().select(
+        "conv_id", F.col("turn_idx").cast("long").alias("turn_idx"),
+        "role", "text", "tool", "ts",
+        F.col("text_len").cast("long").alias("text_len"),
+    )
+
+
 def q_cdc_rebucket_e2e(spark, sf):
     """Online bucket rescaling mid-stream, value-checked by DuckDB: the
     first half of the change stream MERGEs into an 8-bucket table, the
@@ -1962,6 +1991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_windows": q_transcript_windows,
         "cdc_pipeline_e2e": q_cdc_pipeline_e2e,
         "cdc_targeted_delete": q_cdc_targeted_delete,
+        "cdc_backfill_column": q_cdc_backfill_column,
         "cdc_rebucket_e2e": q_cdc_rebucket_e2e,
         "cdc_incremental_view": q_cdc_incremental_view,
         "cdc_snapshot_bootstrap": q_cdc_snapshot_bootstrap,
@@ -2349,6 +2379,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
                    role, text, tool, ts
             FROM w WHERE rn = 1 AND op <> 'D' AND conv_id NOT LIKE '%3'
+        """,
+        # the e2e replay plus the backfilled expression
+        "cdc_backfill_column": f"""
+            WITH flat AS ({_FLAT_CHANGES_SQL}),
+            w AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY conv_id, turn_idx
+                ORDER BY ts DESC, file_seq DESC, log_pos DESC) AS rn
+              FROM flat
+            )
+            SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+                   role, text, tool, ts,
+                   CAST(length(text) AS BIGINT) AS text_len
+            FROM w WHERE rn = 1 AND op <> 'D'
         """,
         # the rescale is invisible: same LWW replay as cdc_pipeline_e2e
         "cdc_rebucket_e2e": f"""

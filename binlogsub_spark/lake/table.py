@@ -964,6 +964,14 @@ class LakeTable:
         if not snaps:
             return {"removed_dirs": 0}
         keep = snaps[-keep_snapshots:]
+        # tagged snapshots are retention-pinned: a tag is a promise that
+        # the snapshot stays readable (audit baselines, release states)
+        tagged_ids = set(self.tags().values())
+        kept_ids = {s["snapshot_id"] for s in keep}
+        keep = keep + [
+            s for s in snaps
+            if s["snapshot_id"] in tagged_ids and s["snapshot_id"] not in kept_ids
+        ]
         live_commits = {
             loc for s in keep for loc in s["bucket_locations"].values() if loc
         }
@@ -979,6 +987,96 @@ class LakeTable:
             if n.startswith("snap-") and n not in keep_names:
                 os.remove(os.path.join(self.manifest_dir, n))
         return {"removed_dirs": removed, "kept_snapshots": len(keep)}
+
+    # ----------------------------------------------------------------- tags
+    def _refs_path(self) -> str:
+        return os.path.join(self.manifest_dir, "refs.json")
+
+    def tags(self) -> dict:
+        """{tag_name: snapshot_id} — named, retention-pinned snapshots."""
+        p = self._refs_path()
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return {k: int(v) for k, v in json.load(f).items()}
+
+    def tag(self, name: str, snapshot_id: int | None = None) -> int:
+        """Name a snapshot (default: current). Tagged snapshots survive
+        ``vacuum`` regardless of the retention window — the Iceberg-tag
+        shape: 'the table as of release X' stays readable forever."""
+        if snapshot_id is None:
+            snap = self.snapshot()
+            if snap is None:
+                raise ValueError("tag() on a table with no snapshot")
+            snapshot_id = snap["snapshot_id"]
+        elif self.snapshot(snapshot_id) is None:
+            raise ValueError(f"snapshot {snapshot_id} does not exist")
+        refs = self.tags()
+        refs[name] = int(snapshot_id)
+        tmp = self._refs_path() + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(refs, f, indent=1)
+        os.replace(tmp, self._refs_path())
+        return int(snapshot_id)
+
+    def drop_tag(self, name: str) -> None:
+        refs = self.tags()
+        refs.pop(name, None)
+        tmp = self._refs_path() + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(refs, f, indent=1)
+        os.replace(tmp, self._refs_path())
+
+    def read_tag(self, name: str) -> DataFrame:
+        refs = self.tags()
+        if name not in refs:
+            raise ValueError(f"unknown tag {name!r} (have {sorted(refs)})")
+        return self.read(snapshot_id=refs[name])
+
+    # ------------------------------------------------------------- backfill
+    def backfill(self, name: str, expr, publish: bool = True) -> dict:
+        """Add (or recompute) a derived column for EVERY live row as one
+        atomic snapshot — schema evolution at rest, the job a 100 TB
+        table runs when a new training signal must exist for historical
+        rows too. ``expr``: a Column or SQL string over the existing
+        columns. One bucket-colocated rewrite (same plan shape as
+        compact — no join, no window: the derivation rides the scan);
+        time travel still shows the pre-backfill schema, and
+        ``publish=False`` stages the result for a write-audit-publish
+        gate like any merge."""
+        if name in VERSION_COLUMNS or name == "_bucket":
+            raise ValueError(f"cannot backfill internal column {name!r}")
+        snap = self.snapshot()
+        if snap is None:
+            raise ValueError("backfill() on a table with no snapshot")
+        col = F.expr(expr) if isinstance(expr, str) else expr
+        df = self.read_internal().withColumn(name, col)
+        snapshot_id = snap["snapshot_id"] + 1
+        commit_rel = f"commit-{snapshot_id:08d}"
+        (
+            df.repartition(self.buckets, "_bucket")
+            .write.partitionBy("_bucket")
+            .mode("overwrite")
+            .parquet(os.path.join(self.data_dir, commit_rel))
+        )
+        new_schema = T.StructType(
+            [f for f in df.schema.fields if f.name != "_bucket"]
+        )
+        live = {
+            str(b): (commit_rel if snap["bucket_locations"].get(str(b)) else None)
+            for b in range(self.buckets)
+        }
+        manifest = dict(
+            snap,
+            snapshot_id=snapshot_id,
+            parent=snap["snapshot_id"],
+            bucket_locations=live,
+            schema_json=json.dumps(new_schema.jsonValue()),
+            metrics={"backfill": name},
+        )
+        manifest.pop("staged", None)
+        self._commit(manifest, publish=publish)
+        return {"snapshot_id": snapshot_id, **({} if publish else {"staged": True})}
 
     def compact(self, cluster_by: tuple = ("conv_id", "turn_idx")) -> dict:
         """Rewrite all live buckets into a single commit dir — bounds the

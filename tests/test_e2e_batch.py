@@ -661,3 +661,71 @@ def test_compaction_clusters_rows(spark, tmp_path):
         t = pq.read_table(f, columns=["conv_id", "turn_idx"]).to_pandas()
         keys = list(zip(t["conv_id"], t["turn_idx"]))
         assert keys == sorted(keys), f
+
+
+def test_backfill_derived_column(spark, tmp_path):
+    """backfill() adds a derived column to every live row as one atomic
+    snapshot; time travel still shows the old schema; later merges
+    leave the column NULL for new versions (to be re-derived)."""
+    from pyspark.sql import functions as F
+
+    ev = generate_binlog(spark, GeneratorParams(n_events=1500, n_convs=30, dup_tail=0))
+    table = LakeTable(spark, str(tmp_path / "tbl"), buckets=8)
+    apply_batch(table, ev.where("delivery_seq < 1000"), batch_id=1)
+    s1 = table.snapshot()["snapshot_id"]
+
+    r = table.backfill("text_len", "length(text)")
+    got = table.read()
+    assert "text_len" in got.columns
+    bad = got.where(
+        F.col("text").isNotNull() & (F.col("text_len") != F.length("text"))
+    ).count()
+    assert bad == 0
+    # pre-backfill snapshot keeps the old schema
+    assert "text_len" not in table.read(snapshot_id=s1).columns
+
+    # later batches merge fine; their new versions carry NULL text_len
+    apply_batch(table, ev.where("delivery_seq >= 1000"), batch_id=2)
+    assert "text_len" in table.read().columns
+    # recompute closes the gap
+    table.backfill("text_len", "length(text)")
+    assert (
+        table.read()
+        .where(F.col("text").isNotNull() & F.col("text_len").isNull())
+        .count()
+        == 0
+    )
+    import pytest
+
+    with pytest.raises(ValueError):
+        table.backfill("_ts", "length(text)")
+
+
+def test_tags_survive_vacuum(spark, tmp_path):
+    """A tagged snapshot stays readable after vacuum even when it falls
+    out of the retention window."""
+    import pytest
+
+    ev = generate_binlog(spark, GeneratorParams(n_events=1200, n_convs=20, dup_tail=0))
+    table = LakeTable(spark, str(tmp_path / "tbl"), buckets=4)
+    n_batches = 5
+    for i in range(n_batches):
+        b = ev.where(
+            (ev.delivery_seq >= i * 240) & (ev.delivery_seq < (i + 1) * 240)
+        )
+        apply_batch(table, b, batch_id=i + 1)
+        if i == 0:
+            tagged_id = table.tag("baseline")
+            baseline = table.read().count()
+
+    table.vacuum(keep_snapshots=2)
+    # the tagged snapshot is outside keep_snapshots=2 but must survive
+    assert table.read_tag("baseline").count() == baseline
+    assert table.tags() == {"baseline": tagged_id}
+    # untagged old snapshots are gone
+    assert table.snapshot(tagged_id + 1) is None or tagged_id + 1 > n_batches - 2
+
+    table.drop_tag("baseline")
+    assert table.tags() == {}
+    with pytest.raises(ValueError):
+        table.read_tag("baseline")
