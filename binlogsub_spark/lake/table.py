@@ -988,6 +988,37 @@ class LakeTable:
                 os.remove(os.path.join(self.manifest_dir, n))
         return {"removed_dirs": removed, "kept_snapshots": len(keep)}
 
+    def read_keys(self, keys, key_col: str = "conv_id") -> DataFrame:
+        """Point lookup: live rows of the listed key values, reading ONLY
+        the buckets those keys hash to — a handful-of-conversations fetch
+        touches a handful of bucket files of an arbitrarily large table
+        (then, post-compaction, a handful of ROW GROUPS inside them,
+        thanks to the clustered sort + parquet min/max pushdown). Same
+        pruning shape as :meth:`delete_keys`, read-only."""
+        keys = sorted(set(keys))
+        buckets = sorted(
+            {
+                r["b"]
+                for r in self.spark.createDataFrame(
+                    [(k,) for k in keys], f"{key_col} string"
+                )
+                .select(bucket_expr(key_col, self.buckets).alias("b"))
+                .distinct()
+                .collect()
+            }
+        )
+        snap = self.snapshot()
+        if snap is None:
+            raise ValueError(f"table {self.path} has no committed snapshot")
+        schema = self._schema(snap)
+        user_cols = [f.name for f in schema.fields if f.name not in VERSION_COLUMNS]
+        return (
+            self.read_internal(buckets=buckets)
+            .where(F.col("_op") != "D")
+            .where(F.col(key_col).isin(keys))
+            .select(*user_cols)
+        )
+
     # ----------------------------------------------------------------- tags
     def _refs_path(self) -> str:
         return os.path.join(self.manifest_dir, "refs.json")
@@ -1078,7 +1109,11 @@ class LakeTable:
         self._commit(manifest, publish=publish)
         return {"snapshot_id": snapshot_id, **({} if publish else {"staged": True})}
 
-    def compact(self, cluster_by: tuple = ("conv_id", "turn_idx")) -> dict:
+    def compact(
+        self,
+        cluster_by: tuple = ("conv_id", "turn_idx"),
+        codec: str = "zstd",
+    ) -> dict:
         """Rewrite all live buckets into a single commit dir — bounds the
         number of commit dirs a read must union (small-files problem).
 
@@ -1089,7 +1124,13 @@ class LakeTable:
         scanning the bucket — and sorted keys compress markedly better.
         The sort is partition-local (``sortWithinPartitions`` after the
         bucket colocation), no extra exchange. Pass ``cluster_by=None``
-        to skip (fastest possible compaction)."""
+        to skip (fastest possible compaction).
+
+        ``codec``: at-rest rewrites default to zstd — compaction is the
+        one write whose output lives long and is read many times, so it
+        trades a little write CPU for markedly smaller cold data (the
+        hot merge path keeps Spark's default codec: ingest throughput is
+        the SLO there, storage is the SLO here)."""
         snap = self.snapshot()
         if snap is None:
             raise ValueError("compact() on a table with no snapshot")
@@ -1103,6 +1144,7 @@ class LakeTable:
         (
             colocated
             .write.partitionBy("_bucket")
+            .option("compression", codec)
             .mode("overwrite")
             .parquet(os.path.join(self.data_dir, commit_rel))
         )

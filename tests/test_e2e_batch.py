@@ -729,3 +729,39 @@ def test_tags_survive_vacuum(spark, tmp_path):
     assert table.tags() == {}
     with pytest.raises(ValueError):
         table.read_tag("baseline")
+
+
+def test_read_keys_point_lookup_prunes_buckets(spark, tmp_path):
+    """read_keys returns exactly the live rows of the requested keys and
+    its plan reads only the buckets those keys hash to."""
+    from binlogsub_spark.lake.table import bucket_expr
+    from pyspark.sql import functions as F
+
+    ev = generate_binlog(spark, GeneratorParams(n_events=2000, n_convs=50, dup_tail=0))
+    table = LakeTable(spark, str(tmp_path / "tbl"), buckets=16)
+    apply_batch(table, ev, batch_id=1)
+    table.compact()  # clustered: row-group stats discriminate
+
+    convs = [
+        r["conv_id"]
+        for r in table.read().select("conv_id").distinct().limit(3).collect()
+    ]
+    got = table.read_keys(convs)
+    want = table.read().where(F.col("conv_id").isin(convs))
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # pruning: the scanned file set is confined to the keys' buckets
+    expect_buckets = {
+        r["b"]
+        for r in spark.createDataFrame([(c,) for c in convs], "conv_id string")
+        .select(bucket_expr("conv_id", 16).alias("b"))
+        .collect()
+    }
+    import re
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[_bucket#\d+ IN \(([\d,]+)\)\]", plan)
+    assert m, "partition filter missing from the scan"
+    assert {int(x) for x in m.group(1).split(",")} == expect_buckets
+    # and the key predicate reaches the parquet scan too
+    assert "In(conv_id" in plan
