@@ -103,6 +103,14 @@ def main(argv: list[str] | None = None) -> int:
         help="with --changes: parquet output path for the change feed",
     )
     ap.add_argument(
+        "--changes-format", default="parquet",
+        choices=["parquet", "debezium", "canal", "maxwell"],
+        help="with --changes-out: feed encoding — parquet keeps the raw "
+        "changelog; the connector dialects write JSON-lines value "
+        "documents a downstream subscriber (including this engine's own "
+        "--debezium/--canal/--maxwell modes) can ingest",
+    )
+    ap.add_argument(
         "--audit-max-drop", type=float, default=None, metavar="FRAC",
         help="structured mode: write-audit-publish gate — stage every "
         "micro-batch and refuse to publish one that shrinks the live "
@@ -275,10 +283,30 @@ def _run_changes(spark, args) -> dict:
     parts = args.changes.split(",")
     from_id = None if parts[0].strip().lower() in ("none", "") else int(parts[0])
     to_id = int(parts[1]) if len(parts) > 1 and parts[1].strip() else None
-    feed = table.changes(from_id, to_id)
+    fmt = args.changes_format
+    feed = table.changes(from_id, to_id, include_before=(fmt != "parquet"))
     if args.changes_out:
-        feed.write.mode("overwrite").parquet(args.changes_out)
-        feed = spark.read.parquet(args.changes_out)  # count the written feed
+        if fmt == "parquet":
+            feed.write.mode("overwrite").parquet(args.changes_out)
+            feed = spark.read.parquet(args.changes_out)  # count written feed
+        else:
+            # connector-dialect JSON-lines landing zone: the same files a
+            # downstream run of THIS engine's --debezium/--canal/--maxwell
+            # mode (or any standard consumer) ingests
+            from binlogsub_spark.sources.outbound import (
+                changes_to_canal,
+                changes_to_maxwell,
+            )
+            from binlogsub_spark.sources.debezium import changes_to_debezium
+
+            enc = {
+                "debezium": changes_to_debezium,
+                "canal": changes_to_canal,
+                "maxwell": changes_to_maxwell,
+            }[fmt]
+            enc(feed).select("value").write.mode("overwrite").text(
+                args.changes_out
+            )
     counts = {
         r["change_op"]: r["n"]
         for r in feed.groupBy("change_op").agg(F.count("*").alias("n")).collect()
@@ -294,6 +322,7 @@ def _run_changes(spark, args) -> dict:
         "deletes": counts.get("D", 0),
         "rows": sum(counts.values()),
         "written": args.changes_out,
+        "format": fmt,
     }
     return out
 

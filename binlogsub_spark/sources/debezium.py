@@ -195,7 +195,7 @@ def envelope_to_debezium_json(
 
 def changes_to_debezium(
     changes_df: DataFrame,
-    db_name: str = "chat",
+    db_name: str = "test",
     table_name: str = "transcripts",
     connector_name: str = "binlogsub",
 ) -> DataFrame:

@@ -25,7 +25,7 @@ _PAYLOAD = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
 def changes_to_envelope(
     changes_df: DataFrame,
-    db_name: str = "chat",
+    db_name: str = "test",
     table_name: str = "transcripts",
 ) -> DataFrame:
     """Changelog rows -> the engine's CDC envelope (the common input of
@@ -73,7 +73,7 @@ def changes_to_envelope(
 
 def changes_to_canal(
     changes_df: DataFrame,
-    db_name: str = "chat",
+    db_name: str = "test",
     table_name: str = "transcripts",
 ) -> DataFrame:
     """Changelog -> Canal flatMessage feed (file_seq/log_pos framing
@@ -87,7 +87,7 @@ def changes_to_canal(
 
 def changes_to_maxwell(
     changes_df: DataFrame,
-    db_name: str = "chat",
+    db_name: str = "test",
     table_name: str = "transcripts",
 ) -> DataFrame:
     """Changelog -> Maxwell record feed (binlog position carried in-band
