@@ -283,7 +283,7 @@ def _run_changes(spark, args) -> dict:
     parts = args.changes.split(",")
     from_id = None if parts[0].strip().lower() in ("none", "") else int(parts[0])
     to_id = int(parts[1]) if len(parts) > 1 and parts[1].strip() else None
-    fmt = args.changes_format
+    fmt = getattr(args, "changes_format", None) or "parquet"
     feed = table.changes(from_id, to_id, include_before=(fmt != "parquet"))
     if args.changes_out:
         if fmt == "parquet":
