@@ -261,6 +261,13 @@ def main(argv: list[str] | None = None) -> int:
         "events_seen": int(lineage["events"].sum()) if lineage is not None else 0,
         "batches": int(lineage["batch_id"].nunique()) if lineage is not None else 0,
     }
+    if snap:
+        fr = table.freshness()
+        out["ingest_lag_seconds"] = (
+            round(fr["ingest_lag_seconds"], 3)
+            if fr["ingest_lag_seconds"] is not None
+            else None
+        )
     print(json.dumps(out, default=str))
     spark.stop()
     return 0
