@@ -134,6 +134,23 @@ def main(argv: list[str] | None = None) -> int:
         "CRC32 buckets as one atomic snapshot (k-aligned counts are an "
         "exchange-free partition-local remap). Prints a JSON summary.",
     )
+    ap.add_argument(
+        "--compact", action="store_true",
+        help="maintenance mode: rewrite all live buckets into one commit "
+        "dir, clustered by the merge key, zstd-encoded. Prints a JSON "
+        "summary.",
+    )
+    ap.add_argument(
+        "--vacuum", type=int, default=None, metavar="KEEP",
+        help="maintenance mode: expire data files unreachable from the "
+        "last KEEP manifests (tagged snapshots are pinned). Prints a "
+        "JSON summary.",
+    )
+    ap.add_argument(
+        "--get", default=None, metavar="K1,K2,...",
+        help="maintenance mode: bucket-pruned point lookup — print the "
+        "live rows of the listed conv_ids as JSON lines",
+    )
     args = ap.parse_args(argv)
 
     spark = get_spark(app_name="binlogsub-ingest", master=args.master)
@@ -150,15 +167,41 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(r, default=str))
         spark.stop()
         return 0
+    def _open_table():
+        # maintenance modes: the committed manifest knows the table's true
+        # bucket count — never trust the CLI default for an existing table
+        t = LakeTable(spark, args.table, buckets=args.buckets)
+        snap = t.snapshot()
+        if snap and snap.get("buckets"):
+            t = LakeTable(spark, args.table, buckets=int(snap["buckets"]))
+        return t
+
     if args.freshness:
-        table = LakeTable(spark, args.table, buckets=args.buckets)
-        print(json.dumps(table.freshness(), default=str))
+        print(json.dumps(_open_table().freshness(), default=str))
+        spark.stop()
+        return 0
+    if args.compact:
+        table = _open_table()
+        r = table.compact()
+        r["rows"] = table.read().count()
+        print(json.dumps(r, default=str))
+        spark.stop()
+        return 0
+    if args.vacuum is not None:
+        r = _open_table().vacuum(keep_snapshots=args.vacuum)
+        print(json.dumps(r, default=str))
+        spark.stop()
+        return 0
+    if args.get is not None:
+        keys = [k for k in args.get.split(",") if k]
+        for row in _open_table().read_keys(keys).toJSON().collect():
+            print(row)
         spark.stop()
         return 0
     if args.delete_keys is not None:
         # maintenance mode: targeted erasure through the normal LWW merge
         # (ordinary tombstones; batch_id defaults to current + 1)
-        table = LakeTable(spark, args.table, buckets=args.buckets)
+        table = _open_table()
         snap = table.snapshot()
         if snap is None:
             ap.error("--delete-keys needs a committed table")
