@@ -232,6 +232,16 @@ def q_transcript_assemble(spark, sf):
     return assemble_transcripts(_conv_turns(spark, sf))
 
 
+def q_transcript_loss_spans(spark, sf):
+    """SFT loss-mask spans: for every turn, the character range its text
+    occupies inside the assembled transcript and whether the trainer
+    masks it (non-assistant roles). Integer window cumsum per conv —
+    bit-exact, engine-portable."""
+    from binlogsub_spark.functions.transcripts import loss_spans
+
+    return loss_spans(_conv_turns(spark, sf))
+
+
 def q_transcript_windows(spark, sf):
     """Overlapping training context windows (8 turns, 2 overlap) per
     conversation — sequence+slice explode off one aggregation, no
@@ -1989,6 +1999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_gtid_replay_filter": q_cdc_gtid_replay_filter,
         "transcript_assemble": q_transcript_assemble,
         "transcript_windows": q_transcript_windows,
+        "transcript_loss_spans": q_transcript_loss_spans,
         "cdc_pipeline_e2e": q_cdc_pipeline_e2e,
         "cdc_targeted_delete": q_cdc_targeted_delete,
         "cdc_backfill_column": q_cdc_backfill_column,
@@ -2245,6 +2256,31 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(role || ': ' || text, chr(10)
                               ORDER BY turn_idx) AS transcript
             FROM t GROUP BY conv_id
+        """,
+        "transcript_loss_spans": """
+            WITH t AS (
+              SELECT 'conv-' || user_id AS conv_id,
+                     row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS turn_idx,
+                     event_type AS role, props AS text
+              FROM events
+            ),
+            c AS (
+              SELECT conv_id, turn_idx, role,
+                     length(role) + 2 AS role_len,
+                     length(text) AS text_len,
+                     sum(length(role) + 2 + length(text) + 1) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx
+                       ROWS UNBOUNDED PRECEDING
+                     ) - (length(role) + 2 + length(text) + 1) AS prefix
+              FROM t
+            )
+            SELECT conv_id, turn_idx, role,
+                   prefix + role_len AS span_start,
+                   prefix + role_len + text_len AS span_end,
+                   role <> 'assistant' AS masked
+            FROM c
         """,
         "transcript_windows": """
             WITH t AS (

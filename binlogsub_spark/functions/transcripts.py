@@ -61,6 +61,38 @@ def assemble_transcripts(
     )
 
 
+def loss_spans(df: DataFrame, text_col: str = "text", sep: str = "\n") -> DataFrame:
+    """Per-turn character spans inside the rendered transcript (the
+    exact string :func:`assemble_transcripts` produces), plus the SFT
+    loss mask: training computes loss only on assistant turns, so the
+    loader needs, for every turn, WHERE its text lives in the packed
+    transcript and whether it is masked.
+
+    One window cumulative sum per conversation — bounded partitions (a
+    conversation's turns), integer arithmetic end to end, so the spans
+    are engine-portable and bit-exact. ``span_start``/``span_end`` cover
+    the turn's text (not the ``role: `` prefix); ``masked`` is true for
+    non-assistant turns."""
+    from pyspark.sql import Window
+
+    role_len = F.length("role") + F.lit(2)  # "role: "
+    line_len = role_len + F.length(text_col) + F.lit(len(sep))
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prefix = F.sum(line_len).over(w) - line_len  # rendered chars before me
+    return df.select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        "role",
+        (prefix + role_len).cast("long").alias("span_start"),
+        (prefix + role_len + F.length(text_col)).cast("long").alias("span_end"),
+        (F.col("role") != "assistant").alias("masked"),
+    )
+
+
 def conversation_windows(
     df: DataFrame,
     window_turns: int,

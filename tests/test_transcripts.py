@@ -95,3 +95,30 @@ def test_windows_no_shuffle_after_agg(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert plan.count("Exchange") <= 2  # groupBy partial/final pair at most
+
+
+def test_loss_spans_index_into_rendered_transcript(spark):
+    """Every turn's (span_start, span_end) slices exactly its text out of
+    the assembled transcript; assistant turns are unmasked."""
+    from binlogsub_spark.functions.transcripts import (
+        assemble_transcripts,
+        loss_spans,
+    )
+
+    rows = [
+        ("c1", 1, "user", "hello there"),
+        ("c1", 2, "assistant", "hi! how can I help?"),
+        ("c1", 3, "tool", "{\"result\": 42}"),
+        ("c1", 4, "assistant", "the answer is 42"),
+        ("c2", 1, "user", "solo"),
+    ]
+    df = _turns(spark, rows)
+    rendered = {
+        r["conv_id"]: r["transcript"]
+        for r in assemble_transcripts(df).collect()
+    }
+    for r in loss_spans(df).collect():
+        text = dict(((c, t), x) for c, t, _ro, x in rows)[(r["conv_id"], r["turn_idx"])]
+        assert rendered[r["conv_id"]][r["span_start"]:r["span_end"]] == text
+        role = dict(((c, t), ro) for c, t, ro, _x in rows)[(r["conv_id"], r["turn_idx"])]
+        assert r["masked"] == (role != "assistant")
