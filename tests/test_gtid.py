@@ -249,3 +249,53 @@ def test_check_resume_gap():
     # an unknown server uuid in purged is wholly lost
     lost2 = check_resume_gap(f"{U1}:1-5,{U2}:1-3", f"{U1}:1-5")
     assert lost2 == {U2: [(1, 3)]}
+
+
+def test_atomic_and_auto_position_compose(spark, tmp_path):
+    """XID transaction-atomic batching and GTID auto-positioning ride the
+    same stream: GTIDs are extracted from the COMMITTED side only (a
+    deferred transaction's gno surfaces when its rows do), and the final
+    state equals a plain replay."""
+    import os
+
+    from binlogsub_spark.config import EngineConfig
+    from binlogsub_spark.lake.table import LakeTable
+    from binlogsub_spark.pipeline import run_stream_mysql
+    from binlogsub_spark.sources.generator import (
+        GeneratorParams,
+        transcripts_table_maps,
+        write_mysql_binlog,
+    )
+
+    name_map: dict = {}
+    for tm in transcripts_table_maps().values():
+        name_map.setdefault((tm.db, tm.table), []).append(tm.columns)
+    src = str(tmp_path / "src")
+    write_mysql_binlog(
+        spark, src, GeneratorParams(n_events=500, n_convs=15, dup_tail=0),
+        n_files=3, xids=True, gtids=True,
+    )
+
+    plain = LakeTable(spark, str(tmp_path / "plain"), buckets=8)
+    q = run_stream_mysql(
+        spark, src, plain, str(tmp_path / "ck0"), cfg=EngineConfig(),
+        name_map=name_map, max_files_per_trigger=3,
+    )
+    q.awaitTermination(300)
+
+    both = LakeTable(spark, str(tmp_path / "both"), buckets=8)
+    ck = str(tmp_path / "ck1")
+    q2 = run_stream_mysql(
+        spark, src, both, ck, cfg=EngineConfig(), name_map=name_map,
+        max_files_per_trigger=1, atomic_commits=True, gtid_auto_position=True,
+    )
+    q2.awaitTermination(300)
+
+    a = plain.read().sort("conv_id", "turn_idx").collect()
+    b = both.read().sort("conv_id", "turn_idx").collect()
+    assert a == b
+    frontier = parse_gtid_set(
+        open(os.path.join(ck, "gtid_executed.txt")).read()
+    )
+    sid = "12121212-1212-1212-1212-121212121212"
+    assert sum(e - s + 1 for s, e in frontier[sid]) == 500
