@@ -281,7 +281,7 @@ def test_atomic_and_auto_position_compose(spark, tmp_path):
         spark, src, plain, str(tmp_path / "ck0"), cfg=EngineConfig(),
         name_map=name_map, max_files_per_trigger=3,
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(600), "plain stream did not finish"
 
     both = LakeTable(spark, str(tmp_path / "both"), buckets=8)
     ck = str(tmp_path / "ck1")
@@ -289,7 +289,7 @@ def test_atomic_and_auto_position_compose(spark, tmp_path):
         spark, src, both, ck, cfg=EngineConfig(), name_map=name_map,
         max_files_per_trigger=1, atomic_commits=True, gtid_auto_position=True,
     )
-    q2.awaitTermination(300)
+    assert q2.awaitTermination(600), "atomic+auto-position stream did not finish"
 
     a = plain.read().sort("conv_id", "turn_idx").collect()
     b = both.read().sort("conv_id", "turn_idx").collect()
