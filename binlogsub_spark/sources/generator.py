@@ -395,7 +395,11 @@ def write_mysql_binlog(
         rows_per_event=1,  # one change per event: every change keeps its
         # own (file_seq, log_pos) for the LWW version triple
         checksum=checksum,
-        include_table_map=True,  # control frames at each partition head
+        # control frames at each partition head — except in gtids mode,
+        # where the union is re-ranged below and maps (log_pos 0) would
+        # all collapse into the lowest-range file; that mode re-emits
+        # them per OUTPUT partition instead
+        include_table_map=not gtids,
         file_seq_col="file_seq",
         log_pos_col="log_pos",
         op_col="op",
@@ -443,6 +447,48 @@ def write_mysql_binlog(
             .repartitionByRange(n_files, "file_seq", "_tx")
             .sortWithinPartitions("file_seq", "_tx", "log_pos")
             .drop("_tx")
+        )
+        # every re-ranged OUTPUT file must carry the schema its rows need
+        # — a micro-batch delivering one file must be self-decodable no
+        # matter the delivery order, exactly like a real binlog file
+        # (maps re-sent after every rotate). Without this, a stream
+        # delivering the high-range file first drops its rows as
+        # unknown_table_id before the maps ever arrive.
+        import pyarrow as pa
+
+        from binlogsub_spark.mysql_binlog import encode_table_map
+
+        tmaps_b = spark.sparkContext.broadcast(tmaps)
+
+        def _prepend_maps(batches):
+            first = True
+            for rb in batches:
+                if first:
+                    payloads = [
+                        encode_table_map(tm, checksum=checksum)
+                        for tm in tmaps_b.value.values()
+                    ]
+                    n = len(payloads)
+                    # match the incoming batch's arrow schema exactly
+                    # (field types AND order) — mixed schemas abort the
+                    # IPC writer
+                    cols = {
+                        "file_seq": [0] * n,
+                        "log_pos": [0] * n,
+                        "payload": payloads,
+                    }
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            pa.array(cols[f.name], type=f.type)
+                            for f in rb.schema
+                        ],
+                        schema=rb.schema,
+                    )
+                    first = False
+                yield rb
+
+        raw = raw.mapInArrow(
+            _prepend_maps, schema="file_seq int, log_pos long, payload binary"
         )
     raw.write.mode("overwrite").parquet(path)
 
