@@ -508,7 +508,10 @@ def decode_raw_events(
             for cols in _decode_frames_arrow(data, starts, ends, want):
                 yield pa.RecordBatch.from_pydict(cols)
 
-    return raw_df.mapInArrow(_decode, schema=out_schema)
+    # payload-only projection: the kernel re-derives file_seq/log_pos from
+    # the frame header bytes, so shipping the framed outer columns across
+    # the Arrow boundary (16 B/row of pure serialization) buys nothing
+    return raw_df.select("payload").mapInArrow(_decode, schema=out_schema)
 
 
 RAW_STATS_SCHEMA = T.StructType(

@@ -69,20 +69,28 @@ def shingle_df(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
     """Distinct word n-gram shingles per doc: (id, shingle). JVM-side only
-    (split + transform + explode)."""
+    (split + transform + array_distinct + explode).
+
+    Dedup happens INSIDE each document's own shingle array
+    (``array_distinct`` before the explode) rather than via a global
+    ``.distinct()`` — a document's shingles all live in its one input row,
+    so the per-row dedup is exact and the full (id, shingle) exchange +
+    hash-dedup the old shape paid is gone (one fewer shuffle of the
+    hottest table in the whole dedup family). Precondition (held by every
+    caller): one input row per ``id_col`` value — the same uniqueness the
+    downstream per-doc size counts already assume."""
     df = _rebalance(df)
     toks = F.split(normalize_text(F.col(text_col)), " ")
     shingles = F.when(
         F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
-        .distinct()
-    )
+    return df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
 
 
 def jaccard_pairs(
@@ -191,6 +199,8 @@ def decontaminate(
 # 2^61 - 1 (Mersenne): (h1 + i*h2) mod P stays exactly inside int64 in any
 # engine, so the md5-based hash family is reproducible by the SQL oracle.
 _MERSENNE61 = 2305843009213693951
+# 2^31 - 1: the K-M modulus for the xxhash64 family (see minhash_signatures)
+_MERSENNE31 = 2147483647
 
 
 def _md5_hash60(col) -> "F.Column":
@@ -223,8 +233,27 @@ def minhash_signatures(
     """
     sh = shingles if shingles is not None else shingle_df(df, text_col, id_col, n)
     if hash_fn == "xxhash64":
+        # Kirsch-Mitzenmacher double hashing: hash each shingle STRING
+        # exactly twice, then derive the num_hashes family with integer
+        # arithmetic — the old per-i xxhash64(shingle, i) re-hashed every
+        # shingle's bytes num_hashes times (64 string hashes per row vs 2;
+        # K-M is the standard construction with the same minhash
+        # guarantees). Both base hashes must span the FULL modulus for the
+        # family members to be independent (a narrow h2 makes every h_i
+        # share h1's argmin), and i*h2 must stay inside int64 under ANSI
+        # arithmetic — hence the 31-bit Mersenne modulus: h2 < 2^31 and
+        # i < 2^32 keep the product well under 2^63.
+        sh = sh.select(
+            id_col,
+            F.pmod(F.xxhash64(F.col("shingle")), F.lit(_MERSENNE31)).alias("_h1"),
+            F.pmod(F.xxhash64(F.col("shingle"), F.lit(1)), F.lit(_MERSENNE31)).alias(
+                "_h2"
+            ),
+        )
         mins = [
-            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+            F.min((F.col("_h1") + F.lit(i) * F.col("_h2")) % F.lit(_MERSENNE31)).alias(
+                f"h{i}"
+            )
             for i in range(num_hashes)
         ]
     elif hash_fn == "md5":

@@ -591,6 +591,7 @@ class LakeTable:
         pre_reduced: bool = False,
         touched_buckets: list[int] | None = None,
         publish: bool = True,
+        observe_buckets: bool = False,
     ) -> dict:
         """MERGE INTO … USING upserts ON (conv_id, turn_idx) with LWW.
 
@@ -623,6 +624,15 @@ class LakeTable:
         Applied/skipped metrics ride the write job via Observation — the
         merge never runs a separate metrics join or count over the data.
 
+        ``observe_buckets=True`` (valid only while the table has NO
+        committed snapshot, i.e. a first batch): the touched-bucket set is
+        not needed BEFORE the job when there is no current state to union
+        in, so instead of a caller-side pre-scan (the raw path's bucket
+        kernel pass reads every payload byte once just for this) the
+        EXACT set rides the write job's Observation (``collect_set`` of
+        ``_bucket`` — bounded by the bucket count) and the whole merge is
+        ONE job over ``upserts`` with zero pre-jobs.
+
         ``publish=False`` runs the full merge but STAGES the snapshot
         (write-audit-publish): data and manifest land on disk, CURRENT
         does not move. Audit the staged state with
@@ -642,15 +652,24 @@ class LakeTable:
                 "snapshot_id": snap["snapshot_id"],
             }
 
+        observe = observe_buckets and touched_buckets is None
+        if observe and snap is not None:
+            raise ValueError(
+                "observe_buckets requires a table with no committed snapshot "
+                "(the touched set must be known BEFORE the job once current "
+                "rows need to be unioned in)"
+            )
         winners = upserts if pre_reduced else partial_lww_reduce(upserts)
         winners = winners.withColumn(
             "_bucket", bucket_expr(MERGE_KEY[0], self.buckets)
         )
-        one_pass = touched_buckets is not None
+        one_pass = touched_buckets is not None or observe
         if not one_pass:
             winners.persist()
         try:
-            if one_pass:
+            if observe:
+                touched = None  # resolved from the write job's Observation
+            elif one_pass:
                 touched = sorted({int(b) for b in touched_buckets})
                 if touched and (touched[0] < 0 or touched[-1] >= self.buckets):
                     # an out-of-range bucket proves the caller hashed with a
@@ -706,12 +725,34 @@ class LakeTable:
                 unioned = _align(self.read_internal(touched), 0).unionByName(w2)
             else:
                 unioned = w2
+            # Bucket-colocation partition count: len(touched) slots for
+            # len(touched) distinct _bucket values is a balls-in-bins trap
+            # (hash collisions leave ~1/e of the slots empty and pile 2-3
+            # buckets on others — a 2-3x straggler on the sort+agg+write
+            # stage, guide §2.5 "too few distinct values"). 4x slots make
+            # double-ups rare; empty slots cost nothing; each bucket still
+            # lands WHOLE in exactly one task (one file per bucket dir).
+            n_parts = max(4 * (self.buckets if touched is None else len(touched)), 1)
             if self.merge_strategy == "arrow_local":
-                colocated = unioned.repartition(max(len(touched), 1), "_bucket")
+                colocated = unioned.repartition(n_parts, "_bucket")
                 merged = bucket_local_lww(colocated)
-            else:
+            elif self.merge_strategy == "jvm_legacy":
+                # pre-r6 shape (final reduce BEFORE the bucket exchange):
+                # kept for A/B measurement only
                 merged = lww_reduce(unioned, salt=1).repartition(
                     max(len(touched), 1), "_bucket"
+                )
+            else:
+                # one bucket-colocation exchange, then a PARTITION-LOCAL
+                # complete reduce: grouping by (_bucket, key) is satisfied
+                # by the repartition's HashPartitioning(_bucket), so the
+                # final LWW aggregation adds NO second exchange (one fewer
+                # full shuffle + one fewer pre-exchange sort pass than the
+                # legacy reduce-then-repartition shape; plan-asserted in
+                # tests/test_plans.py)
+                colocated = unioned.repartition(n_parts, "_bucket")
+                merged = lww_reduce(
+                    colocated, key=MERGE_KEY + ["_bucket"], salt=1
                 )
 
             snapshot_id = (snap["snapshot_id"] + 1) if snap else 1
@@ -720,15 +761,14 @@ class LakeTable:
             }
             commit_rel = f"commit-{snapshot_id:08d}"
             applied, n_winners, batch_max_ts = 0, (None if one_pass else 0), None
-            if touched:
+            if touched is None or touched:
                 obs = Observation(f"merge-{batch_id}")
                 out_cols = [
                     F.col(f.name) if f.name in merged.columns
                     else F.lit(None).cast(f.dataType).alias(f.name)
                     for f in schema.fields
                 ]
-                to_write = merged.observe(
-                    obs,
+                obs_metrics = [
                     F.count(F.when(F.col("_origin") == -1, 1)).alias("applied"),
                     F.count("*").alias("live_rows"),
                     # event-time frontier of THIS batch's winners — rides
@@ -736,7 +776,16 @@ class LakeTable:
                     F.max(
                         F.when(F.col("_origin") == -1, F.col("_ts"))
                     ).alias("max_event_ts"),
-                ).select(*out_cols, "_bucket")
+                ]
+                if touched is None:
+                    # observe mode: the EXACT touched set rides the write
+                    # (bounded by the bucket count, not the row count)
+                    obs_metrics.append(
+                        F.collect_set(F.col("_bucket")).alias("touched")
+                    )
+                to_write = merged.observe(obs, *obs_metrics).select(
+                    *out_cols, "_bucket"
+                )
                 (
                     # already bucket-colocated by the merge shuffle: each
                     # task holds whole buckets -> one file per bucket dir,
@@ -747,6 +796,8 @@ class LakeTable:
                 )
                 applied = obs.get["applied"]
                 batch_max_ts = obs.get["max_event_ts"]
+                if touched is None:
+                    touched = sorted(int(b) for b in obs.get["touched"])
                 # one-pass mode never materializes `winners` separately, so
                 # the pre-reduce winner count (a diagnostic, not a contract
                 # metric — applied/skipped come from the Observation and the

@@ -143,25 +143,36 @@ def apply_batch(
         # the merge skip its own distinct-buckets job entirely.
         from binlogsub_spark.lake.table import bucket_expr
 
-        img_conv = F.when(
-            F.col("op") == OP_DELETE, F.col("before.conv_id")
-        ).otherwise(F.col("after.conv_id"))
-        per_file = (
-            events.select(
-                "file_seq",
-                "log_pos",
+        fresh = table.snapshot() is None
+        if fresh:
+            # first batch into an empty table: no current state to union,
+            # so the touched set can ride the merge write's Observation —
+            # the lineage aggregation drops the per-row bucket hash +
+            # collect_set entirely (merge observe mode, lake/table.py)
+            sel = ["file_seq", "log_pos"]
+            aggs = [
+                F.max("log_pos").alias("max_log_pos"),
+                F.count("*").alias("events"),
+            ]
+        else:
+            img_conv = F.when(
+                F.col("op") == OP_DELETE, F.col("before.conv_id")
+            ).otherwise(F.col("after.conv_id"))
+            sel = [
+                F.col("file_seq"),
+                F.col("log_pos"),
                 bucket_expr(img_conv, table.buckets).alias("_b"),
-            )
-            .groupBy("file_seq")
-            .agg(
+            ]
+            aggs = [
                 F.max("log_pos").alias("max_log_pos"),
                 F.count("*").alias("events"),
                 F.collect_set("_b").alias("buckets"),
-            )
-            .collect()
-        )
+            ]
+        per_file = events.select(*sel).groupBy("file_seq").agg(*aggs).collect()
         total = sum(r["events"] for r in per_file)
-        touched = sorted({b for r in per_file for b in r["buckets"]})
+        touched = (
+            None if fresh else sorted({b for r in per_file for b in r["buckets"]})
+        )
         watermark = None
         if per_file:
             top = max(per_file, key=lambda r: (r["file_seq"], r["max_log_pos"]))
@@ -176,6 +187,7 @@ def apply_batch(
             watermark=watermark,
             pre_reduced=True,
             touched_buckets=touched,
+            observe_buckets=touched is None,
             publish=audit is None,
         )
         if audit is not None and not res["replayed"]:
@@ -272,6 +284,7 @@ def bootstrap_from_snapshot(
         stamped,
         batch_id=batch_id,
         watermark={"file_seq": file_seq, "log_pos": log_pos},
+        observe_buckets=table.snapshot() is None,
     )
 
 
@@ -646,14 +659,22 @@ def apply_raw_batch(
             .collect()
         )
         total = sum(r["events"] for r in per_file)
-        touched = sorted(
-            r["bucket"]
-            for r in raw_touched_buckets_df(
-                raw_events, table.buckets, scope_codes=codes
+        if table.snapshot() is None:
+            # first batch into an empty table: the touched-bucket set is
+            # only needed BEFORE the job to prune the current-state union,
+            # and there is no current state — skip the bucket kernel pass
+            # (a full payload scan) and let the merge observe the EXACT
+            # set on its write job (one fewer pass over every payload byte)
+            touched = None
+        else:
+            touched = sorted(
+                r["bucket"]
+                for r in raw_touched_buckets_df(
+                    raw_events, table.buckets, scope_codes=codes
+                )
+                .distinct()
+                .collect()
             )
-            .distinct()
-            .collect()
-        )
         watermark = None
         if per_file:
             top = max(per_file, key=lambda r: (r["file_seq"], r["max_log_pos"]))
@@ -694,6 +715,7 @@ def apply_raw_batch(
             watermark=watermark,
             pre_reduced=True,
             touched_buckets=touched,
+            observe_buckets=touched is None,
         )
     finally:
         if persist_source:
@@ -1072,7 +1094,10 @@ def apply_mysql_batch(
             mysql_decoded_to_upserts(decoded, cfg), salt=cfg.skew_salt
         )
         res = table.merge(
-            partials, batch_id=batch_id, watermark=watermark, pre_reduced=True
+            partials, batch_id=batch_id, watermark=watermark, pre_reduced=True,
+            # fresh table: one-job merge with the touched set observed on
+            # the write — skips the winners persist + distinct-buckets job
+            observe_buckets=table.snapshot() is None,
         )
     finally:
         if persist_source:

@@ -102,14 +102,21 @@ def decode_canal(
     """
     has_framing = "file_seq" in df.columns and "log_pos" in df.columns
     v = F.from_json(F.col(value_col), CANAL_VALUE_SCHEMA)
-    base = df.select(
-        *(("file_seq", "log_pos") if has_framing else ()), v.alias("v")
-    ).where(
-        F.col("v").isNotNull()
-        & ~F.coalesce(F.col("v")["isDdl"], F.lit(False))
-        & F.col("v")["type"].isin(*_ROW_OPS)
-        & F.col("v")["data"].isNotNull()
-    )
+    # Control-record filter with its own TWO-FIELD probe parse: predicates
+    # referencing the full-schema struct get pushed below the projection
+    # with the whole from_json duplicated per conjunct (the debezium
+    # decoder measured ~3 full parses per line from this; see
+    # plans/r06/cdc_debezium_decode_before.txt). The probe parses just
+    # {isDdl, type} (same field types, so nullity/values match the full
+    # parse bit-for-bit); a junk/null line yields NULL type -> dropped,
+    # exactly as the old v.isNotNull() conjunct did. The old
+    # v.data.isNotNull() conjunct is gone because posexplode of a NULL
+    # array emits no rows anyway — same output, one fewer parsed field.
+    probe = F.from_json(F.col(value_col), "isDdl boolean, type string")
+    base = df.where(
+        ~F.coalesce(probe["isDdl"], F.lit(False))
+        & probe["type"].isin(*_ROW_OPS)
+    ).select(*(("file_seq", "log_pos") if has_framing else ()), v.alias("v"))
     ex = base.select(
         *(("file_seq", "log_pos") if has_framing else ()),
         "v",

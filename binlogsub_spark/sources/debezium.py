@@ -104,9 +104,19 @@ def decode_debezium(
     dropped: a tombstone is a compaction hint, not a change event.
     """
     v = F.from_json(F.col(value_col), DEBEZIUM_VALUE_SCHEMA)
+    # Tombstone/garbage filter with its OWN one-field parse: a filter that
+    # references the full-schema struct gets pushed below the projection
+    # with the whole from_json DUPLICATED into the condition — measured as
+    # ~3 full Jackson parses per line (one per conjunct + the projection;
+    # see plans/r06/cdc_debezium_decode_before.txt). Parsing just {op}
+    # for the predicate keeps the pushed-down filter nearly free and the
+    # full parse runs exactly once. Equivalent: v IS NULL => v.op IS NULL
+    # under PERMISSIVE parsing, so filtering on the one-field op alone
+    # keeps the same rows.
+    op_probe = F.from_json(F.col(value_col), "op string")["op"]
     out = (
-        df.select(v.alias("v"))
-        .where(F.col("v").isNotNull() & F.col("v")["op"].isNotNull())
+        df.where(op_probe.isNotNull())
+        .select(v.alias("v"))
         .select(
             F.regexp_extract(F.col("v")["source"]["file"], r"(\d+)$", 1)
             .cast("int")

@@ -91,13 +91,25 @@ def decode_maxwell(
     indistinguishable from unchanged — a corner of the format itself)."""
     has_framing = "file_seq" in df.columns and "log_pos" in df.columns
     v = F.from_json(F.col(value_col), MAXWELL_VALUE_SCHEMA)
-    base = df.select(
-        *(("file_seq", "log_pos") if has_framing else ()), v.alias("v")
-    ).where(
-        F.col("v").isNotNull()
-        & F.col("v")["type"].isin(*_OP_MAP)
-        & F.col("v")["data"].isNotNull()
+    # Control-record filter with its own SUBSET probe parse ({type, data}
+    # with the identical data struct type, so nullity matches the full
+    # parse): predicates referencing the full-schema struct get pushed
+    # below the projection with the whole from_json duplicated per
+    # conjunct (~3 full parses per line measured on the debezium decoder;
+    # see plans/r06/cdc_debezium_decode_before.txt). A junk/null line
+    # yields NULL type -> dropped, as the old v.isNotNull() conjunct did.
+    probe = F.from_json(
+        F.col(value_col),
+        T.StructType(
+            [
+                T.StructField("type", T.StringType()),
+                T.StructField("data", _JSON_IMAGE),
+            ]
+        ),
     )
+    base = df.where(
+        probe["type"].isin(*_OP_MAP) & probe["data"].isNotNull()
+    ).select(*(("file_seq", "log_pos") if has_framing else ()), v.alias("v"))
     v, d, o = F.col("v"), F.col("v")["data"], F.col("v")["old"]
     op = F.when(v["type"] == "update", F.lit("U")).when(
         v["type"] == "delete", F.lit("D")
