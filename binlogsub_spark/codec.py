@@ -313,15 +313,26 @@ def _decode_group_arrow(
     ends: np.ndarray,
     dt: np.dtype,
     want: frozenset | None = None,
+    frames=None,
 ):
     """Decode one same-epoch group of frames into Arrow arrays: one header
-    gather + one varlen text gather; every enum is a dictionary `take`
-    (the ENUM decode trick — codes index a table, event.cc:607-636).
+    gather for the fixed-width numerics, C++ ``binary_slice`` kernels for
+    the byte-range columns; every enum is a dictionary `take` (the ENUM
+    decode trick — codes index a table, event.cc:607-636).
 
     ``want`` prunes the output to a column subset: unrequested columns are
-    never materialized (the text gather — the dominant cost — is skipped
+    never materialized (the text slice — the dominant cost — is skipped
     entirely when ``text`` is not wanted), and the Arrow IPC batch sent
-    back to the JVM carries only the requested columns."""
+    back to the JVM carries only the requested columns.
+
+    ``frames``: the group's frames as an Arrow Binary array (same order as
+    ``starts``). When given, conv_id/text are produced by
+    ``pyarrow.compute.binary_slice`` — the header length is constant
+    within an epoch, so both are fixed-offset slices the C++ kernel emits
+    with one memcpy per column. The round-5 numpy gather built an int64
+    index per PAYLOAD BYTE (repeat + arange + add ≈ 40 B of memory
+    traffic per text byte); the slice kernels replace that with offset
+    arithmetic in C (measured ~2x on the decode-only pass)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -337,14 +348,24 @@ def _decode_group_arrow(
     def _want(name: str) -> bool:
         return want is None or name in want
 
+    def _as_string(binarr):
+        # zero-copy layout reinterpret (validation already ran upstream)
+        return binarr.view(
+            pa.large_string()
+            if pa.types.is_large_binary(binarr.type)
+            else pa.string()
+        )
+
     if _want("conv_id"):
-        cols["conv_id"] = _fixed_to_string_arrow(h["conv_id"])
+        if frames is not None:
+            conv = _as_string(pc.binary_slice(frames, start=hl - 26, stop=hl - 2))
+            # strip the field's TRAILING NUL padding only (embedded NULs
+            # inside the value are data — see _fixed_to_string_arrow)
+            cols["conv_id"] = pc.ascii_rtrim(conv, characters="\x00")
+        else:
+            cols["conv_id"] = _fixed_to_string_arrow(h["conv_id"])
     if _want("text"):
-        # varlen text: one repeat/cumsum gather into a contiguous buffer
-        text_lens = ends - starts - hl
-        out_off = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(text_lens, out=out_off[1:])
-        total = int(out_off[-1])
+        total = int((ends - starts).sum()) - n * hl
         if total > np.iinfo(np.int32).max:
             # int32 Arrow offsets would silently wrap into corrupt slices
             raise ValueError(
@@ -352,14 +373,25 @@ def _decode_group_arrow(
                 "int32-offset limit; lower "
                 "spark.sql.execution.arrow.maxRecordsPerBatch"
             )
-        idx = np.repeat(starts + hl, text_lens) + (
-            np.arange(total, dtype=np.int64) - np.repeat(out_off[:-1], text_lens)
-        )
-        cols["text"] = pa.Array.from_buffers(
-            pa.string(),
-            n,
-            [None, pa.py_buffer(out_off.astype(np.int32)), pa.py_buffer(data[idx])],
-        )
+        if frames is not None:
+            # stop must be explicit (pyarrow 16 rejects an open end); the
+            # kernel clamps it to each value's length
+            cols["text"] = _as_string(
+                pc.binary_slice(frames, start=hl, stop=np.iinfo(np.int32).max)
+            )
+        else:
+            # varlen text: one repeat/cumsum gather into a contiguous buffer
+            text_lens = ends - starts - hl
+            out_off = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(text_lens, out=out_off[1:])
+            idx = np.repeat(starts + hl - out_off[:-1], text_lens) + np.arange(
+                total, dtype=np.int64
+            )
+            cols["text"] = pa.Array.from_buffers(
+                pa.string(),
+                n,
+                [None, pa.py_buffer(out_off.astype(np.int32)), pa.py_buffer(data[idx])],
+            )
 
     if _want("server_ts") or _want("ts"):
         ts = pa.array(h["ts_micros"].astype("int64")).cast(pa.timestamp("us"))
@@ -395,11 +427,19 @@ def _decode_group_arrow(
     }
 
 
-def _decode_frames_arrow(data, starts, ends, want: frozenset | None = None):
+def _decode_frames_arrow(
+    data, starts, ends, want: frozenset | None = None, arr=None, sel=None
+):
     """Valid frames -> list of per-epoch column dicts (the batch splits into
     per-epoch groups, each decoded in one gather pass — the in-band schema
     lookup the reference does per event via its table-map cache,
-    /root/reference/packet.cc:194-200, amortized to per-group here)."""
+    /root/reference/packet.cc:194-200, amortized to per-group here).
+
+    ``arr``/``sel``: the source Arrow Binary array and the kept frames'
+    indices into it — lets each epoch group hand its frames to the C++
+    slice kernels (see _decode_group_arrow) instead of numpy gathers."""
+    import pyarrow as pa
+
     versions = (
         data[starts + _VERSION_OFFSET]
         if len(starts)
@@ -409,7 +449,12 @@ def _decode_frames_arrow(data, starts, ends, want: frozenset | None = None):
     for v, dt in _HEADER_DTYPES.items():
         g = versions == v
         if g.any():
-            out.append(_decode_group_arrow(data, starts[g], ends[g], dt, want))
+            frames = None
+            if arr is not None and sel is not None:
+                frames = arr.take(pa.array(sel[g]))
+            out.append(
+                _decode_group_arrow(data, starts[g], ends[g], dt, want, frames)
+            )
     return out
 
 
@@ -498,14 +543,19 @@ def decode_raw_events(
     def _decode(batches) -> Iterator["pa.RecordBatch"]:
         for rb in batches:
             arr = rb.column(rb.schema.get_field_index("payload"))
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
             starts, ends, data = _binary_buffers(arr)
+            sel = np.arange(len(starts), dtype=np.int64)
             if skip_invalid:
                 keep = validate_reasons(starts, ends, data) == REASON_OK
-                starts, ends = starts[keep], ends[keep]
+                starts, ends, sel = starts[keep], ends[keep], sel[keep]
             if scope_codes is not None and len(starts):
                 in_scope = _scope_mask(starts, ends, data, scope_codes)
-                starts, ends = starts[in_scope], ends[in_scope]
-            for cols in _decode_frames_arrow(data, starts, ends, want):
+                starts, ends, sel = starts[in_scope], ends[in_scope], sel[in_scope]
+            for cols in _decode_frames_arrow(
+                data, starts, ends, want, arr=arr, sel=sel
+            ):
                 yield pa.RecordBatch.from_pydict(cols)
 
     # payload-only projection: the kernel re-derives file_seq/log_pos from

@@ -20,11 +20,12 @@ Two layers:
 * **Distributed set construction + replay filtering** —
   ``gtid_executed_intervals`` compresses billions of (uuid, gno) rows
   into intervals WITHOUT a window over the (skewed, tiny-cardinality)
-  uuid key: the big-data stages are equi-joins on (uuid, gno) — an
-  evenly distributed composite key — and only the already-compressed
-  interval endpoints (tiny by construction: one row per gap) ever meet a
-  window sort. ``filter_executed`` then anti-joins an event stream
-  against a broadcast interval table to drop already-applied
+  uuid key: the one big-data stage is a map-side-combining aggregation
+  on (uuid, gno-block) — an evenly distributed composite key — local
+  runs fall out of array expressions inside each block row, and only
+  the already-compressed runs (tiny by construction: one row per gap)
+  ever meet a window sort. ``filter_executed`` then anti-joins an event
+  stream against a broadcast interval table to drop already-applied
   transactions on resume — the source-side half of exactly-once.
 """
 
@@ -153,7 +154,8 @@ def split_gtid(col):
 
 
 def gtid_executed_intervals(
-    df: DataFrame, uuid_col: str = "server_uuid", gno_col: str = "gno"
+    df: DataFrame, uuid_col: str = "server_uuid", gno_col: str = "gno",
+    block: int = 4096,
 ) -> DataFrame:
     """Compress per-transaction (uuid, gno) rows into the executed
     interval set: one row per maximal run -> (server_uuid, ivl_start,
@@ -161,36 +163,60 @@ def gtid_executed_intervals(
 
     Scale shape: a naive gaps-and-islands window partitions by uuid —
     and a fleet has a handful of server uuids, so every task sorts
-    billions of rows of one key. Instead the heavy stages key on the
-    evenly-distributed composite (uuid, gno): distinct, then two
-    self-anti-joins find run STARTS (no predecessor gno-1) and run ENDS
-    (no successor gno+1). Only those endpoints — one row per gap, tiny
-    by construction (a healthy executed set is a handful of intervals) —
-    hit the per-uuid window that pairs the k-th start with the k-th end.
-    """
-    gnos = (
+    billions of rows of one key. Instead the ONE heavy stage keys on the
+    evenly-distributed composite (uuid, gno div block): each block
+    collects its own (deduplicated, bounded-by-``block``) gno set with a
+    map-side-combining collect_set, local runs come from pure array
+    expressions inside the row, and only the runs themselves — one row
+    per gap, tiny by construction (a healthy executed set is a handful
+    of intervals) — hit the per-uuid window that stitches runs adjacent
+    across block boundaries. One full exchange of pre-reduced data,
+    where the round-5 shape paid three (distinct + both anti-join probe
+    sides) plus two sort-merge anti-joins."""
+    blocks = (
         df.select(
             F.lower(F.col(uuid_col)).alias("server_uuid"),
             F.col(gno_col).cast("long").alias("gno"),
         )
         .where(F.col("gno").isNotNull())
-        .distinct()
+        .groupBy("server_uuid", (F.col("gno") - F.pmod(F.col("gno"), block)).alias("_blk"))
+        .agg(F.sort_array(F.collect_set("gno")).alias("gs"))
     )
-    succ = gnos.select("server_uuid", (F.col("gno") + 1).alias("gno"))
-    pred = gnos.select("server_uuid", (F.col("gno") - 1).alias("gno"))
-    starts = gnos.join(succ, ["server_uuid", "gno"], "left_anti").select(
-        "server_uuid", F.col("gno").alias("ivl_start")
+    gs = F.col("gs")
+    # neighbors within the block: prev[i] = gs[i-1], nxt[i] = gs[i+1]
+    prev = F.concat(
+        F.array(F.lit(None).cast("long")), F.slice(gs, 1, F.size(gs) - 1)
     )
-    ends = gnos.join(pred, ["server_uuid", "gno"], "left_anti").select(
-        "server_uuid", F.col("gno").alias("ivl_end")
+    nxt = F.concat(
+        F.when(F.size(gs) > 1, F.slice(gs, 2, F.size(gs) - 1)).otherwise(
+            F.array().cast("array<long>")
+        ),
+        F.array(F.lit(None).cast("long")),
     )
-    w = Window.partitionBy("server_uuid")
-    starts = starts.withColumn(
-        "k", F.row_number().over(w.orderBy("ivl_start"))
+    run_starts = F.filter(
+        F.zip_with(gs, prev, lambda x, p: F.when(p.isNull() | (p != x - 1), x)),
+        lambda x: x.isNotNull(),
     )
-    ends = ends.withColumn("k", F.row_number().over(w.orderBy("ivl_end")))
+    run_ends = F.filter(
+        F.zip_with(gs, nxt, lambda x, nx: F.when(nx.isNull() | (nx != x + 1), x)),
+        lambda x: x.isNotNull(),
+    )
+    runs = blocks.select(
+        "server_uuid",
+        F.explode(F.arrays_zip(run_starts.alias("s"), run_ends.alias("e"))).alias(
+            "r"
+        ),
+    ).select("server_uuid", F.col("r.s").alias("s"), F.col("r.e").alias("e"))
+    # stitch runs that touch across block boundaries: classic gaps-and-
+    # islands, but over the already-compressed run rows only
+    w = Window.partitionBy("server_uuid").orderBy("s")
+    grp = F.sum(
+        F.when(F.col("s") == F.lag("e").over(w) + 1, 0).otherwise(1)
+    ).over(w.rowsBetween(Window.unboundedPreceding, 0))
     return (
-        starts.join(ends, ["server_uuid", "k"])
+        runs.withColumn("_g", grp)
+        .groupBy("server_uuid", "_g")
+        .agg(F.min("s").alias("ivl_start"), F.max("e").alias("ivl_end"))
         .select("server_uuid", "ivl_start", "ivl_end")
     )
 
