@@ -224,11 +224,15 @@ def validate_reasons(
     known = np.isin(versions, list(_HEADER_DTYPES))
     reasons[long_enough & ~known] = REASON_BAD_VERSION
     # UTF-8 suspects = frames containing ANY non-ASCII byte (usually none):
-    # one comparison pass + sparse positions. (The round-2 version built an
-    # int64 cumsum over the whole buffer — 8 bytes of memory traffic per
-    # payload byte, measured as ~70% of the entire decode cost.)
+    # a single max() reduction (no boolean temp) proves the common all-
+    # ASCII batch clean before paying the flatnonzero pass, which
+    # allocates a bool array the size of the whole payload buffer. (The
+    # round-2 version built an int64 cumsum over the whole buffer — 8
+    # bytes of memory traffic per payload byte, measured as ~70% of the
+    # entire decode cost.)
     nonascii_pos = (
-        np.zeros(0, dtype=np.int64) if structural_only
+        np.zeros(0, dtype=np.int64)
+        if structural_only or len(data) == 0 or int(data.max()) < 0x80
         else np.flatnonzero(data >= 0x80)
     )
     if len(nonascii_pos):

@@ -395,6 +395,7 @@ def incremental_minhash_pairs(
     """
     rows_per_band = num_hashes // bands
     materialize = result_path is not None
+    cand_cached = False
     new_sh = shingle_df(new_df, text_col, id_col, n)
     if materialize:
         # persist (NOT localCheckpoint: persist keeps lineage, so lost
@@ -425,6 +426,14 @@ def incremental_minhash_pairs(
             )
             .distinct()
         )
+        if materialize:
+            # `cand` feeds BOTH the candidate-doc semi-join and the
+            # verification join; uncached, each branch re-runs the batch
+            # shingle->signature->store join. Candidates are a vanishing
+            # fraction of the corpus — persisting them is near-free.
+            cand = cand.persist()
+            cand.count()
+            cand_cached = True
         # corpus text read ONLY for band-matched candidates
         old_ids = cand.select(F.col("old_id").alias(id_col)).distinct()
         old_sh = shingle_df(
@@ -472,6 +481,8 @@ def incremental_minhash_pairs(
             if materialize:
                 old_sh.unpersist(blocking=False)
     finally:
+        if cand_cached:
+            cand.unpersist(blocking=False)
         if materialize:
             new_sh.unpersist(blocking=False)
 
@@ -505,6 +516,7 @@ def minhash_lsh_pairs(
     if materialize:
         sh = sh.persist()
         sh.count()  # materialize the cache before the multi-reference job
+    band_cached = False
     try:
         sig = minhash_signatures(
             None, text_col, id_col, num_hashes, n, hash_fn=hash_fn, shingles=sh
@@ -515,6 +527,14 @@ def minhash_lsh_pairs(
                 F.array(*_band_key_expr(bands, rows_per_band, hash_fn))
             ).alias("bb"),
         ).select(id_col, "bb.band", "bb.bh")
+        if materialize:
+            # the band table sits on BOTH sides of the self-join; without a
+            # persist each branch recomputes the whole shingle->signature
+            # aggregation (no cross-branch CSE in Spark). bands x docs rows
+            # — tiny next to the shingle table it derives from.
+            band = band.persist()
+            band.count()
+            band_cached = True
         a, b = band.alias("a"), band.alias("b")
         cand = (
             a.join(
@@ -549,6 +569,8 @@ def minhash_lsh_pairs(
         out.write.mode("overwrite").parquet(result_path)
         return df.sparkSession.read.parquet(result_path)
     finally:
+        if band_cached:
+            band.unpersist(blocking=False)
         if materialize:
             sh.unpersist(blocking=False)
 
@@ -628,7 +650,14 @@ def simhash_pairs(
         )
     if bands > nbits:
         raise ValueError(f"bands={bands} > signature bits={nbits}")
-    sig = simhash(df, text_col, id_col, hash_fn=hash_fn)
+    # one (id, simhash) row per doc — tiny; the band table derived from it
+    # sits on BOTH sides of the self-join, and without materialization each
+    # branch re-runs the full token-explode + per-bit aggregation over the
+    # corpus (no cross-branch CSE in Spark). Eager localCheckpoint computes
+    # the signature pass exactly once.
+    sig = simhash(df, text_col, id_col, hash_fn=hash_fn).localCheckpoint(
+        eager=True
+    )
     bounds = simhash_band_bounds(nbits, bands)
     band_df = sig.select(
         F.col(id_col),

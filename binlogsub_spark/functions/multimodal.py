@@ -323,23 +323,26 @@ def decode_media(media_df: DataFrame) -> DataFrame:
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for mid, kind, content, meta in zip(
-                pdf["media_id"], pdf["kind"], pdf["content"], pdf["meta"]
-            ):
+            # columnar assembly: the per-row dict + DataFrame.from_records
+            # path spent ~a third of the stage building Python row objects
+            widths, heights, feats = [], [], []
+            for content in pdf["content"]:
                 w, h, feat = _decode_image(bytes(content))
-                rows.append(
-                    {
-                        "media_id": mid,
-                        "kind": kind,
-                        "n_bytes": meta["n_bytes"],
-                        "sha256": meta["sha256"],
-                        "width": w,
-                        "height": h,
-                        "feature": feat,
-                    }
-                )
-            yield pd.DataFrame(rows, columns=[f.name for f in FEATURES_SCHEMA.fields])
+                widths.append(w)
+                heights.append(h)
+                feats.append(feat)
+            meta = pdf["meta"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [m["n_bytes"] for m in meta],
+                    "sha256": [m["sha256"] for m in meta],
+                    "width": widths,
+                    "height": heights,
+                    "feature": feats,
+                }
+            )
 
     return media_df.mapInPandas(_extract, schema=FEATURES_SCHEMA)
 
