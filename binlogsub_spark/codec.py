@@ -198,11 +198,45 @@ def _gather_headers(data: np.ndarray, starts: np.ndarray, dt: np.dtype) -> np.nd
     return np.ascontiguousarray(m).view(dt).reshape(len(starts))
 
 
+def _utf8_invalid_mask(binarr) -> np.ndarray:
+    """Per-row UTF-8 validity of an Arrow Binary array, without a per-row
+    Python loop: ONE C++ cast (binary -> utf8, safe mode validates) proves
+    the common all-valid batch clean; when the batch really does contain
+    invalid bytes (dead-letter rarity), bad rows are isolated by bisection —
+    O(bad * log n) slice casts, never O(n) Python iterations."""
+    import pyarrow as pa
+
+    n = len(binarr)
+    out = np.zeros(n, dtype=bool)
+    target = (
+        pa.large_string()
+        if pa.types.is_large_binary(binarr.type)
+        else pa.string()
+    )
+
+    def _mark(lo: int, hi: int) -> None:  # [lo, hi)
+        try:
+            binarr.slice(lo, hi - lo).cast(target)
+            return
+        except pa.ArrowInvalid:
+            if hi - lo == 1:
+                out[lo] = True
+                return
+            mid = (lo + hi) // 2
+            _mark(lo, mid)
+            _mark(mid, hi)
+
+    if n:
+        _mark(0, n)
+    return out
+
+
 def validate_reasons(
     starts: np.ndarray,
     ends: np.ndarray,
     data: np.ndarray,
     structural_only: bool = False,
+    arr=None,
 ) -> np.ndarray:
     """Vectorized frame validation returning a per-frame reason code
     (REASON_OK = valid). The engine's analog of the reference's error-packet
@@ -213,7 +247,16 @@ def validate_reasons(
     exploding inside the typed decode. ``structural_only=True`` skips the
     UTF-8 scan (one pass over every payload byte) — for passes that never
     materialize text, e.g. the touched-bucket pre-job, where a bad-UTF-8
-    frame merely contributes a harmless extra candidate bucket."""
+    frame merely contributes a harmless extra candidate bucket.
+
+    ``arr``: the SAME frames as an Arrow Binary array (row i ↔ starts[i]).
+    With it the UTF-8 check runs as C++ ``binary_slice`` + one validating
+    cast per epoch group (see ``_utf8_invalid_mask``). Without it the numpy
+    fallback scans the whole buffer for non-ASCII bytes — and because the
+    binary HEADER bytes routinely exceed 0x7f, that fallback flags
+    essentially EVERY frame as a suspect and walks them in per-row Python
+    (measured as ~75%% of the raw decode-only pass at 4M frames); the
+    Arrow path exists precisely to kill that."""
     n = len(starts)
     lens = ends - starts
     reasons = np.zeros(n, dtype=np.uint8)
@@ -232,7 +275,8 @@ def validate_reasons(
     # entire decode cost.)
     nonascii_pos = (
         np.zeros(0, dtype=np.int64)
-        if structural_only or len(data) == 0 or int(data.max()) < 0x80
+        if structural_only or arr is not None or len(data) == 0
+        or int(data.max()) < 0x80
         else np.flatnonzero(data >= 0x80)
     )
     if len(nonascii_pos):
@@ -257,7 +301,24 @@ def validate_reasons(
         reasons[grp[bad_enum]] = REASON_BAD_ENUM
         reasons[grp[mismatch]] = REASON_LEN_MISMATCH
         cand = grp[~bad_enum & ~mismatch]
-        if cand.size and suspect_frames.size:
+        if cand.size == 0 or structural_only:
+            continue
+        if arr is not None:
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            frames = (
+                arr if cand.size == len(arr) else arr.take(pa.array(cand))
+            )
+            # conv_id is the 24 bytes ending 2 before the header end; its
+            # trailing NUL padding is valid UTF-8, so validating the padded
+            # field gives the same verdict as the stripped value (NUL can
+            # neither complete a truncated sequence nor break a valid one)
+            conv = pc.binary_slice(frames, start=hl - 26, stop=hl - 2)
+            text = pc.binary_slice(frames, start=hl, stop=np.iinfo(np.int32).max)
+            bad = _utf8_invalid_mask(conv) | _utf8_invalid_mask(text)
+            reasons[cand[bad]] = REASON_BAD_UTF8
+        elif suspect_frames.size:
             suspects = np.intersect1d(cand, suspect_frames, assume_unique=False)
             for i in suspects:
                 frame = bytes(data[starts[i] : ends[i]])
@@ -466,8 +527,9 @@ def validate_payload_batch(payloads: pd.Series) -> np.ndarray:
     """pandas-facing wrapper: bool mask of structurally+UTF-8-valid frames."""
     import pyarrow as pa
 
-    starts, ends, data = _binary_buffers(pa.array(payloads, type=pa.binary()))
-    return validate_reasons(starts, ends, data) == REASON_OK
+    parr = pa.array(payloads, type=pa.binary())
+    starts, ends, data = _binary_buffers(parr)
+    return validate_reasons(starts, ends, data, arr=parr) == REASON_OK
 
 
 def decode_payload_batch(payloads: pd.Series) -> pd.DataFrame:
@@ -552,7 +614,7 @@ def decode_raw_events(
             starts, ends, data = _binary_buffers(arr)
             sel = np.arange(len(starts), dtype=np.int64)
             if skip_invalid:
-                keep = validate_reasons(starts, ends, data) == REASON_OK
+                keep = validate_reasons(starts, ends, data, arr=arr) == REASON_OK
                 starts, ends, sel = starts[keep], ends[keep], sel[keep]
             if scope_codes is not None and len(starts):
                 in_scope = _scope_mask(starts, ends, data, scope_codes)
@@ -743,8 +805,10 @@ def split_deadletter(raw_df: DataFrame) -> tuple[DataFrame, DataFrame]:
     def _flag(batches) -> Iterator["pa.RecordBatch"]:
         for rb in batches:
             arr = rb.column(rb.schema.get_field_index("payload"))
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
             starts, ends, data = _binary_buffers(arr)
-            reasons = validate_reasons(starts, ends, data)
+            reasons = validate_reasons(starts, ends, data, arr=arr)
             rb = rb.append_column("_valid", pa.array(reasons == REASON_OK))
             yield rb.append_column("_reason", pa.array(REASON_NAMES[reasons]))
 

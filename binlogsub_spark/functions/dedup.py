@@ -285,7 +285,9 @@ def minhash_signatures(
 def _band_key_expr(bands: int, rows_per_band: int, hash_fn: str):
     """Per-band key expressions over a ``sig`` array column. md5 mode joins
     the band's mins as a string (oracle-portable); xxhash64 mode hashes
-    them (compact)."""
+    them to a BIGINT — an 8-byte join/bucket key instead of a ~20-byte
+    decimal string (narrower shuffle rows + integer comparisons in the
+    band self-join and the bucketed store join)."""
     if hash_fn == "md5":
         def _bk(b):
             return F.concat_ws(
@@ -299,7 +301,7 @@ def _band_key_expr(bands: int, rows_per_band: int, hash_fn: str):
         def _bk(b):
             return F.xxhash64(
                 *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
-            ).cast("string")
+            )
     return [
         F.struct(F.lit(b).alias("band"), _bk(b).alias("bh")) for b in range(bands)
     ]
@@ -445,13 +447,24 @@ def incremental_minhash_pairs(
         try:
             new_sizes = new_sh.groupBy(id_col).agg(F.count("*").alias("sz_new"))
             old_sizes = old_sh.groupBy(id_col).agg(F.count("*").alias("sz_old"))
+            # xxhash64 mode verifies on 8-byte shingle hashes (see
+            # minhash_lsh_pairs); md5 keeps exact string intersection
+            def _shv(s: DataFrame) -> DataFrame:
+                return s.select(
+                    F.col(id_col),
+                    (
+                        F.xxhash64("shingle")
+                        if hash_fn == "xxhash64"
+                        else F.col("shingle")
+                    ).alias("s"),
+                )
+
             inter = (
                 cand.join(
-                    new_sh.withColumnsRenamed({id_col: "new_id", "shingle": "s"}),
-                    "new_id",
+                    _shv(new_sh).withColumnRenamed(id_col, "new_id"), "new_id"
                 )
                 .join(
-                    old_sh.withColumnsRenamed({id_col: "old_id", "shingle": "s"}),
+                    _shv(old_sh).withColumnRenamed(id_col, "old_id"),
                     ["old_id", "s"],
                 )
                 .groupBy("new_id", "old_id")
@@ -546,11 +559,23 @@ def minhash_lsh_pairs(
             .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
             .distinct()
         )
-        # exact verification only on candidates, reusing the SAME shingles
+        # exact verification only on candidates, reusing the SAME shingles.
+        # xxhash64 mode intersects 8-byte shingle hashes instead of the
+        # shingle strings: the verify join's intermediate (candidate pairs
+        # x shingles of id_a) is the widest table in the query, and the
+        # int64 key cuts its shuffle bytes ~3x and makes the join compares
+        # integer (md5 mode — the oracle-checked family — keeps exact
+        # string intersection).
         sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+        shv = sh.select(
+            F.col(id_col),
+            (
+                F.xxhash64("shingle") if hash_fn == "xxhash64" else F.col("shingle")
+            ).alias("s"),
+        )
         inter = (
-            cand.join(sh.withColumnsRenamed({id_col: "id_a", "shingle": "s"}), "id_a")
-            .join(sh.withColumnsRenamed({id_col: "id_b", "shingle": "s"}), ["id_b", "s"])
+            cand.join(shv.withColumnRenamed(id_col, "id_a"), "id_a")
+            .join(shv.withColumnRenamed(id_col, "id_b"), ["id_b", "s"])
             .groupBy("id_a", "id_b")
             .agg(F.count("*").alias("inter"))
         )

