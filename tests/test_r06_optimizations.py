@@ -116,3 +116,77 @@ def test_shingles_deduped_within_doc(spark):
     got = sorted((r["doc_id"], r["shingle"]) for r in rows)
     # doc 1: 7 positions but only 3 distinct 3-grams; doc 2: too short
     assert got == [(1, "a b c"), (1, "b c a"), (1, "c a b")]
+
+
+def test_utf8_invalid_mask_bisection():
+    """The Arrow UTF-8 validity kernel must flag exactly the invalid rows
+    via bisection — including adjacent bad rows, bad rows at both ends,
+    and all-valid / all-invalid batches (no per-row loop on clean data)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from binlogsub_spark.codec import _utf8_invalid_mask
+
+    good = "héllo ✓".encode()
+    bad = b"\xbf\x01"  # lone continuation byte
+    cases = [
+        [good, b"ok", bad, bad, good, bad],
+        [bad, good, good],
+        [good, good, bad],
+        [good] * 5,
+        [bad] * 3,
+        [],
+        [b""],
+    ]
+    for frames in cases:
+        got = _utf8_invalid_mask(pa.array(frames, type=pa.binary()))
+        exp = np.array(
+            [not _is_utf8(f) for f in frames], dtype=bool
+        )
+        assert np.array_equal(got, exp), frames
+
+
+def _is_utf8(b: bytes) -> bool:
+    try:
+        b.decode("utf-8")
+        return True
+    except UnicodeDecodeError:
+        return False
+
+
+def test_headers_from_arrow_matches_numpy_gather():
+    """The C++ header-slice gather must produce the byte-identical
+    structured header view the numpy fancy gather produced (every field,
+    both epoch layouts), and report ragged input as None."""
+    import numpy as np
+    import pyarrow as pa
+
+    from binlogsub_spark.codec import (
+        _HEADER_DTYPES,
+        _binary_buffers,
+        _gather_headers,
+        _headers_from_arrow,
+        encode_record,
+    )
+
+    for v, dt in _HEADER_DTYPES.items():
+        frames = [
+            encode_record(
+                1, 100 + i, 1_700_000_000_000_000 + i, "IUD"[i % 3], v, 1,
+                ["user", "assistant", "tool"][i % 3],
+                ("tool_3" if v >= 2 and i % 3 == 2 else None),
+                i, f"conv_{i:04d}", f"text payload {i} ü"
+            )
+            for i in range(257)
+        ]
+        arr = pa.array(frames, type=pa.binary())
+        starts, ends, data = _binary_buffers(arr)
+        a = _headers_from_arrow(arr, dt)
+        b = _gather_headers(data, starts, dt)
+        assert a is not None
+        for name in dt.names:
+            assert np.array_equal(a[name], b[name]), (v, name)
+    # ragged (a frame shorter than the header) -> defensive None
+    dt = list(_HEADER_DTYPES.values())[0]
+    short = pa.array([frames[0], b"tiny"], type=pa.binary())
+    assert _headers_from_arrow(short, dt) is None
