@@ -421,6 +421,7 @@ def _decode_group_arrow(
     dt: np.dtype,
     want: frozenset | None = None,
     frames=None,
+    utf8_check: bool = False,
 ):
     """Decode one same-epoch group of frames into Arrow arrays: one header
     gather for the fixed-width numerics, C++ ``binary_slice`` kernels for
@@ -439,12 +440,54 @@ def _decode_group_arrow(
     with one memcpy per column. The round-5 numpy gather built an int64
     index per PAYLOAD BYTE (repeat + arange + add ≈ 40 B of memory
     traffic per text byte); the slice kernels replace that with offset
-    arithmetic in C (measured ~2x on the decode-only pass)."""
+    arithmetic in C (measured ~2x on the decode-only pass).
+
+    ``utf8_check=True`` (requires ``frames``) fuses the UTF-8 validation
+    into the decode: the conv_id/text slices the decode materializes
+    anyway are validated with ``_utf8_invalid_mask`` and bad rows are
+    filtered out of the group — callers then skip the standalone UTF-8
+    validation pass and its duplicate take+slice of every payload byte
+    (structural validation still runs upstream)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
     hl = dt.itemsize
     n = len(starts)
+
+    def _want(name: str) -> bool:
+        return want is None or name in want
+
+    conv_bin = text_bin = None
+    if frames is not None:
+        need_conv = utf8_check or _want("conv_id")
+        need_text = utf8_check or _want("text")
+        if need_text:
+            total = int((ends - starts).sum()) - n * hl
+            if total > np.iinfo(np.int32).max:
+                # int32 Arrow offsets would silently wrap into corrupt
+                # slices
+                raise ValueError(
+                    f"{total} text bytes in one Arrow batch exceeds the "
+                    "2 GiB int32-offset limit; lower "
+                    "spark.sql.execution.arrow.maxRecordsPerBatch"
+                )
+            # stop must be explicit (pyarrow 16 rejects an open end); the
+            # kernel clamps it to each value's length
+            text_bin = pc.binary_slice(
+                frames, start=hl, stop=np.iinfo(np.int32).max
+            )
+        if need_conv:
+            conv_bin = pc.binary_slice(frames, start=hl - 26, stop=hl - 2)
+        if utf8_check:
+            bad = _utf8_invalid_mask(conv_bin) | _utf8_invalid_mask(text_bin)
+            if bad.any():
+                kp = pa.array(~bad)
+                frames = frames.filter(kp)
+                conv_bin = conv_bin.filter(kp)
+                text_bin = text_bin.filter(kp)
+                starts, ends = starts[~bad], ends[~bad]
+                n = len(starts)
+
     h = _headers_from_arrow(frames, dt) if frames is not None else None
     if h is None:
         h = _gather_headers(data, starts, dt)
@@ -454,11 +497,9 @@ def _decode_group_arrow(
 
     cols: dict = {}
 
-    def _want(name: str) -> bool:
-        return want is None or name in want
-
     def _as_string(binarr):
-        # zero-copy layout reinterpret (validation already ran upstream)
+        # zero-copy layout reinterpret (UTF-8 validity established either
+        # by the fused check above or by the caller's validation pass)
         return binarr.view(
             pa.large_string()
             if pa.types.is_large_binary(binarr.type)
@@ -466,29 +507,27 @@ def _decode_group_arrow(
         )
 
     if _want("conv_id"):
-        if frames is not None:
-            conv = _as_string(pc.binary_slice(frames, start=hl - 26, stop=hl - 2))
+        if conv_bin is not None:
             # strip the field's TRAILING NUL padding only (embedded NULs
             # inside the value are data — see _fixed_to_string_arrow)
-            cols["conv_id"] = pc.ascii_rtrim(conv, characters="\x00")
+            cols["conv_id"] = pc.ascii_rtrim(
+                _as_string(conv_bin), characters="\x00"
+            )
         else:
             cols["conv_id"] = _fixed_to_string_arrow(h["conv_id"])
     if _want("text"):
-        total = int((ends - starts).sum()) - n * hl
-        if total > np.iinfo(np.int32).max:
-            # int32 Arrow offsets would silently wrap into corrupt slices
-            raise ValueError(
-                f"{total} text bytes in one Arrow batch exceeds the 2 GiB "
-                "int32-offset limit; lower "
-                "spark.sql.execution.arrow.maxRecordsPerBatch"
-            )
-        if frames is not None:
-            # stop must be explicit (pyarrow 16 rejects an open end); the
-            # kernel clamps it to each value's length
-            cols["text"] = _as_string(
-                pc.binary_slice(frames, start=hl, stop=np.iinfo(np.int32).max)
-            )
+        if text_bin is not None:
+            cols["text"] = _as_string(text_bin)
         else:
+            total = int((ends - starts).sum()) - n * hl
+            if total > np.iinfo(np.int32).max:
+                # int32 Arrow offsets would silently wrap into corrupt
+                # slices
+                raise ValueError(
+                    f"{total} text bytes in one Arrow batch exceeds the "
+                    "2 GiB int32-offset limit; lower "
+                    "spark.sql.execution.arrow.maxRecordsPerBatch"
+                )
             # varlen text: one repeat/cumsum gather into a contiguous buffer
             text_lens = ends - starts - hl
             out_off = np.zeros(n + 1, dtype=np.int64)
@@ -537,7 +576,8 @@ def _decode_group_arrow(
 
 
 def _decode_frames_arrow(
-    data, starts, ends, want: frozenset | None = None, arr=None, sel=None
+    data, starts, ends, want: frozenset | None = None, arr=None, sel=None,
+    utf8_check: bool = False,
 ):
     """Valid frames -> list of per-epoch column dicts (the batch splits into
     per-epoch groups, each decoded in one gather pass — the in-band schema
@@ -546,7 +586,10 @@ def _decode_frames_arrow(
 
     ``arr``/``sel``: the source Arrow Binary array and the kept frames'
     indices into it — lets each epoch group hand its frames to the C++
-    slice kernels (see _decode_group_arrow) instead of numpy gathers."""
+    slice kernels (see _decode_group_arrow) instead of numpy gathers.
+    ``utf8_check``: validate conv_id/text UTF-8 on the decode's own slices
+    and drop bad frames here (fused mode — only meaningful with ``arr``;
+    callers then run structural-only validation upstream)."""
     import pyarrow as pa
 
     versions = (
@@ -562,7 +605,10 @@ def _decode_frames_arrow(
             if arr is not None and sel is not None:
                 frames = arr.take(pa.array(sel[g]))
             out.append(
-                _decode_group_arrow(data, starts[g], ends[g], dt, want, frames)
+                _decode_group_arrow(
+                    data, starts[g], ends[g], dt, want, frames,
+                    utf8_check=utf8_check and frames is not None,
+                )
             )
     return out
 
@@ -658,13 +704,24 @@ def decode_raw_events(
             starts, ends, data = _binary_buffers(arr)
             sel = np.arange(len(starts), dtype=np.int64)
             if skip_invalid:
-                keep = validate_reasons(starts, ends, data, arr=arr) == REASON_OK
+                # STRUCTURAL validation only: the UTF-8 check is fused
+                # into the decode itself (utf8_check below), which
+                # validates the conv_id/text slices it materializes
+                # anyway — the standalone UTF-8 pass would take+slice
+                # every payload byte a second time
+                keep = (
+                    validate_reasons(
+                        starts, ends, data, structural_only=True, arr=arr
+                    )
+                    == REASON_OK
+                )
                 starts, ends, sel = starts[keep], ends[keep], sel[keep]
             if scope_codes is not None and len(starts):
                 in_scope = _scope_mask(starts, ends, data, scope_codes)
                 starts, ends, sel = starts[in_scope], ends[in_scope], sel[in_scope]
             for cols in _decode_frames_arrow(
-                data, starts, ends, want, arr=arr, sel=sel
+                data, starts, ends, want, arr=arr, sel=sel,
+                utf8_check=skip_invalid,
             ):
                 yield pa.RecordBatch.from_pydict(cols)
 
